@@ -1,0 +1,98 @@
+"""World Coordinate System transforms: linear and TAN (gnomonic).
+
+Replaces the wcslib C dependency. The reference only ever needs pix<->world
+plus the local 2x2 Jacobian (model/wcs_utils.jl); SDSS frames use RA---TAN /
+DEC--TAN with a CD matrix, which this implements exactly in numpy.
+
+Conventions: `pix` is 1-based (FITS), ordered (axis1, axis2); `world` is
+(ra, dec) in degrees.
+"""
+
+import numpy as np
+
+D2R = np.pi / 180.0
+R2D = 180.0 / np.pi
+
+
+class LinearWCS:
+    """world = crval + cd @ (pix - crpix); identity-like test WCS."""
+
+    def __init__(self, crpix=(0.0, 0.0), crval=(0.0, 0.0), cd=None):
+        self.crpix = np.asarray(crpix, dtype=np.float64)
+        self.crval = np.asarray(crval, dtype=np.float64)
+        self.cd = np.asarray(cd if cd is not None else np.eye(2),
+                             dtype=np.float64)
+        self._cd_inv = np.linalg.inv(self.cd)
+
+    def pix_to_world(self, pix):
+        pix = np.asarray(pix, dtype=np.float64)
+        return self.crval + self.cd @ (pix - self.crpix)
+
+    def world_to_pix(self, world):
+        world = np.asarray(world, dtype=np.float64)
+        return self.crpix + self._cd_inv @ (world - self.crval)
+
+    def pixel_world_jacobian(self, pix):
+        return self._cd_inv.copy()
+
+
+class TanWCS:
+    """Gnomonic projection with a CD matrix (RA---TAN / DEC--TAN)."""
+
+    def __init__(self, crpix, crval, cd):
+        self.crpix = np.asarray(crpix, dtype=np.float64)   # (x, y) 1-based
+        self.crval = np.asarray(crval, dtype=np.float64)   # (ra, dec) deg
+        self.cd = np.asarray(cd, dtype=np.float64)         # deg / pixel
+        self._cd_inv = np.linalg.inv(self.cd)
+
+    @classmethod
+    def from_header(cls, hdr):
+        cd = np.array([[hdr.get("CD1_1", 1.0), hdr.get("CD1_2", 0.0)],
+                       [hdr.get("CD2_1", 0.0), hdr.get("CD2_2", 1.0)]])
+        return cls(crpix=[hdr.get("CRPIX1", 0.0), hdr.get("CRPIX2", 0.0)],
+                   crval=[hdr.get("CRVAL1", 0.0), hdr.get("CRVAL2", 0.0)],
+                   cd=cd)
+
+    def pix_to_world(self, pix):
+        pix = np.asarray(pix, dtype=np.float64)
+        uv = self.cd @ (pix - self.crpix)       # intermediate coords, deg
+        xi, eta = uv[0] * D2R, uv[1] * D2R      # radians
+        ra0, dec0 = self.crval * D2R
+        denom = np.cos(dec0) - eta * np.sin(dec0)
+        ra = ra0 + np.arctan2(xi, denom)
+        dec = np.arctan2(np.sin(dec0) + eta * np.cos(dec0),
+                         np.sqrt(xi ** 2 + denom ** 2))
+        return np.array([np.mod(ra * R2D, 360.0), dec * R2D])
+
+    def world_to_pix(self, world):
+        world = np.asarray(world, dtype=np.float64)
+        ra, dec = world * D2R
+        ra0, dec0 = self.crval * D2R
+        dra = ra - ra0
+        d = (np.sin(dec) * np.sin(dec0)
+             + np.cos(dec) * np.cos(dec0) * np.cos(dra))
+        xi = np.cos(dec) * np.sin(dra) / d
+        eta = (np.sin(dec) * np.cos(dec0)
+               - np.cos(dec) * np.sin(dec0) * np.cos(dra)) / d
+        uv = np.array([xi, eta]) * R2D
+        return self.crpix + self._cd_inv @ uv
+
+    def pixel_world_jacobian(self, pix, pixel_delt=0.5):
+        """Jacobian d(pixel)/d(world) by central differences at `pix`
+        (matches pixel_world_jacobian, model/wcs_utils.jl:36-51)."""
+        world = self.pix_to_world(np.asarray(pix, dtype=np.float64))
+        step = self.pix_to_world(np.asarray(pix) + pixel_delt) - world
+        wd = np.max(np.abs(step))
+        col1 = (self.world_to_pix(world + [wd, 0.0]) - pix) / wd
+        col2 = (self.world_to_pix(world + [0.0, wd]) - pix) / wd
+        return np.stack([col1, col2], axis=1)
+
+
+def wcs_from_header(hdr):
+    ctype1 = str(hdr.get("CTYPE1", "")).strip()
+    if "TAN" in ctype1:
+        return TanWCS.from_header(hdr)
+    return LinearWCS(crpix=[hdr.get("CRPIX1", 0.0), hdr.get("CRPIX2", 0.0)],
+                     crval=[hdr.get("CRVAL1", 0.0), hdr.get("CRVAL2", 0.0)],
+                     cd=np.array([[hdr.get("CD1_1", 1.0), hdr.get("CD1_2", 0.0)],
+                                  [hdr.get("CD2_1", 0.0), hdr.get("CD2_2", 1.0)]]))

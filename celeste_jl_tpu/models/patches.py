@@ -1,0 +1,113 @@
+"""Fixed-shape patch tiles — the TPU-native replacement for ImagePatch.
+
+The reference stores ragged per-source pixel boxes with boolean bitmaps
+(model/imaged_sources.jl:60-117). For XLA we use static (B, P, P) tiles per
+source: all five bands of a source's surroundings, masked. Ragged reality is
+handled by masking; bucketing by tile size happens in parallel/.
+
+A SkyPatch is a NamedTuple of arrays (a pytree), so it vmaps/shards freely.
+Leading axes: standalone (B, ...) for one source, or (S, B, ...) when stacked.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class SkyPatch(NamedTuple):
+    pixels: jnp.ndarray        # (B, P, P) raw electron counts; NaN = masked
+    mask: jnp.ndarray          # (B, P, P) bool: active pixels for this source
+    sky: jnp.ndarray           # (B, P, P) sky background in nMgy
+    iota: jnp.ndarray          # (B, P, P) nelec per nMgy calibration
+    offset: jnp.ndarray        # (B, 2) int32, 0-based tile corner in image
+    wcs_jacobian: jnp.ndarray  # (B, 2, 2) d(pixel)/d(world) at patch center
+    world_center: jnp.ndarray  # (B, 2)
+    pixel_center: jnp.ndarray  # (B, 2) 1-based pixel coords of world_center
+    psf: jnp.ndarray           # (B, K, 6) packed PSF mixture per band
+
+    @property
+    def n_bands(self):
+        return self.pixels.shape[-3]
+
+    @property
+    def tile_size(self):
+        return self.pixels.shape[-1]
+
+
+def pixel_coord_grids(offset, P, dtype=jnp.float64):
+    """1-based pixel-coordinate grids (x1, x2) each (P, P) for a tile whose
+    0-based corner in the image is `offset` (2,)."""
+    r = jnp.arange(1, P + 1, dtype=dtype)
+    x1 = offset[0].astype(dtype)[None, None] + r[:, None] + jnp.zeros((1, P), dtype)
+    x2 = offset[1].astype(dtype)[None, None] + r[None, :] + jnp.zeros((P, 1), dtype)
+    return x1, x2
+
+
+def make_patch_for_source(images, world_pos, radius, tile_size):
+    """Build a SkyPatch (host-side, numpy) for one source.
+
+    images: list of B Image objects (models/image.py).
+    world_pos: (2,) world coordinates of the source.
+    radius: active radius in pixels (active mask = box of this radius).
+    tile_size: static P.
+    """
+    world_pos = np.asarray(world_pos, dtype=np.float64)
+    B, P = len(images), tile_size
+    pix = np.full((B, P, P), np.nan, dtype=np.float64)
+    mask = np.zeros((B, P, P), dtype=bool)
+    sky = np.zeros((B, P, P), dtype=np.float64)
+    iota = np.ones((B, P, P), dtype=np.float64)
+    offset = np.zeros((B, 2), dtype=np.int32)
+    jac = np.zeros((B, 2, 2), dtype=np.float64)
+    wc = np.zeros((B, 2), dtype=np.float64)
+    pc = np.zeros((B, 2), dtype=np.float64)
+    psf = np.stack([np.asarray(img.psf, dtype=np.float64) for img in images])
+
+    for b, img in enumerate(images):
+        H, W = img.pixels.shape
+        ctr = np.asarray(img.world_to_pix(world_pos), dtype=np.float64)
+        off = np.round(ctr - 1.0 - (P - 1) / 2.0).astype(np.int64)  # 0-based corner
+        offset[b] = off
+        pc[b] = ctr
+        jac[b] = img.wcs_jacobian(ctr)
+        wc[b] = world_pos
+
+        # overlap of tile with image
+        i0, i1 = max(0, off[0]), min(H, off[0] + P)
+        j0, j1 = max(0, off[1]), min(W, off[1] + P)
+        if i0 >= i1 or j0 >= j1:
+            continue
+        ti0, tj0 = i0 - off[0], j0 - off[1]
+        sl_img = (slice(i0, i1), slice(j0, j1))
+        sl_t = (slice(ti0, ti0 + (i1 - i0)), slice(tj0, tj0 + (j1 - j0)))
+        pix[b][sl_t] = img.pixels[sl_img]
+
+        s = img.sky
+        sky[b][sl_t] = s[sl_img] if np.ndim(s) == 2 else s
+        io_ = img.nelec_per_nmgy
+        if np.ndim(io_) == 1:
+            iota[b][sl_t] = io_[i0:i1, None]
+        else:
+            iota[b][sl_t] = io_
+
+        # active = in-tile, in-image, within radius box, not NaN
+        ii = np.arange(P)[:, None] + off[0] + 1.0  # 1-based coords
+        jj = np.arange(P)[None, :] + off[1] + 1.0
+        inbox = ((np.abs(ii - ctr[0]) <= radius) &
+                 (np.abs(jj - ctr[1]) <= radius))
+        valid = np.zeros((P, P), dtype=bool)
+        valid[sl_t] = ~np.isnan(pix[b][sl_t])
+        mask[b] = inbox & valid
+
+    return SkyPatch(pixels=jnp.asarray(pix), mask=jnp.asarray(mask),
+                    sky=jnp.asarray(sky), iota=jnp.asarray(iota),
+                    offset=jnp.asarray(offset), wcs_jacobian=jnp.asarray(jac),
+                    world_center=jnp.asarray(wc), pixel_center=jnp.asarray(pc),
+                    psf=jnp.asarray(psf))
+
+
+def stack_patches(patches):
+    """Stack a list of per-source SkyPatches into one with leading S axis."""
+    return SkyPatch(*[jnp.stack([getattr(p, f) for p in patches])
+                      for f in SkyPatch._fields])

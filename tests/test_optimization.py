@@ -1,0 +1,63 @@
+"""End-to-end optimizer tests: fit synthetic sources, recover truth.
+
+Mirrors test_optimization.jl:10-50 (verify_sample_star/galaxy semantics).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from celeste_jl_tpu.models.params import ids
+from celeste_jl_tpu.models.patches import make_patch_for_source, stack_patches
+from celeste_jl_tpu.synthetic import (gen_images, make_blank_images,
+                                      sample_galaxy, sample_star)
+from celeste_jl_tpu.vi.init import catalog_init_source, generic_init_source
+from celeste_jl_tpu.vi.optimize import fit_sources, maximize
+
+
+def _fit_single(ce, seed=3, radius=12, tile=32, H=40):
+    images = make_blank_images(H=H, W=H)
+    gen_images(images, [ce], seed=seed)
+    patch = make_patch_for_source(images, ce.pos, radius=radius, tile_size=tile)
+    vp0 = jnp.asarray(generic_init_source(ce.pos))
+    res = fit_sources(vp0[None], stack_patches([patch]))
+    return np.asarray(res.vp[0]), res
+
+
+def test_fit_star_recovers_flux_and_type():
+    ce = sample_star(pos=(20.0, 20.0), r_flux=40.0)
+    vp, res = _fit_single(ce)
+    assert bool(res.converged[0])
+    # star probability should be high
+    assert vp[ids.is_star[0]] > 0.7
+    # r-band flux (lognormal mean) close to truth
+    flux = np.exp(vp[ids.flux_loc[0]] + 0.5 * vp[ids.flux_scale[0]])
+    assert abs(flux - 40.0) / 40.0 < 0.12, flux
+    # colors near zero (truth)
+    assert np.all(np.abs(vp[ids.color_mean[:, 0]]) < 0.25)
+
+
+def test_fit_galaxy_recovers_shape():
+    ce = sample_galaxy(pos=(20.0, 20.0), r_flux=80.0, gal_axis_ratio=0.6,
+                       gal_angle=0.9, gal_radius_px=2.5, gal_frac_dev=0.4)
+    vp, res = _fit_single(ce, seed=5)
+    assert vp[ids.is_star[1]] > 0.6
+    flux = np.exp(vp[ids.flux_loc[1]] + 0.5 * vp[ids.flux_scale[1]])
+    assert abs(flux - 80.0) / 80.0 < 0.15, flux
+    assert abs(vp[ids.gal_axis_ratio] - 0.6) < 0.15
+    assert abs(vp[ids.gal_radius_px] - 2.5) < 0.6
+    # angle is mod pi
+    ang_err = abs((vp[ids.gal_angle] - 0.9 + np.pi / 2) % np.pi - np.pi / 2)
+    assert ang_err < 0.3
+
+
+def test_fit_improves_elbo():
+    ce = sample_star(pos=(20.0, 20.0), r_flux=40.0)
+    images = make_blank_images()
+    gen_images(images, [ce], seed=3)
+    patch = make_patch_for_source(images, ce.pos, radius=12, tile_size=32)
+    vp0 = jnp.asarray(generic_init_source(ce.pos))
+    from celeste_jl_tpu.vi.elbo import elbo
+    e0 = float(elbo(vp0, patch))
+    res = maximize(vp0, patch)
+    assert float(res.elbo) > e0
