@@ -1,0 +1,67 @@
+"""Headline benchmark: full variational source fits per second per chip.
+
+Workload: S synthetic sources (stars + galaxies) on 5-band 32x32 patch tiles,
+each fit by Newton trust-region over the 41 free parameters with ELBO
+value/gradient/Hessian per iteration — the reference's per-source unit of
+work (one fit ~= 38,776 pixel-visits, BASELINE.md). All S fits run as one
+vmapped jit launch on a single chip.
+
+Baseline: the reference publishes no wall-clock numbers (BASELINE.md); the
+anchor used here is 1.0 source fits/s for single-core Julia on the same unit
+of work (38,776 pixel-visits with 44-param analytic Hessians per eval), so
+vs_baseline is sources/sec/chip and the BASELINE.md speed target is
+vs_baseline >= 50.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+S = int(os.environ.get("BENCH_SOURCES", "512"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+BASELINE_FITS_PER_SEC = 1.0
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _synthetic_batch
+    from celeste_jl_tpu.vi.optimize import fit_sources
+
+    vp0s, patches = _synthetic_batch(n_sources=S, tile=32, seed=1)
+    vp0s = jax.device_put(np.asarray(vp0s, dtype=np.float32))
+    patches = jax.tree.map(lambda x: jax.device_put(x), patches)
+
+    res = fit_sources(vp0s, patches)  # compile + warm up
+    jax.block_until_ready(res.vp)
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        res = fit_sources(vp0s, patches)
+        jax.block_until_ready(res.vp)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    fits_per_sec = S / best
+    finite = float(np.mean(np.isfinite(np.asarray(res.elbo))))
+    out = {
+        "metric": "source_fits_per_sec_per_chip",
+        "value": round(fits_per_sec, 2),
+        "unit": "fits/s",
+        "vs_baseline": round(fits_per_sec / BASELINE_FITS_PER_SEC, 2),
+        "sources": S,
+        "best_wall_s": round(best, 4),
+        "finite_elbo_frac": finite,
+        "mean_newton_iters": float(np.mean(np.asarray(res.iters))),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,7 +74,7 @@ def galaxy_density_grid(pos_world, gal_frac_dev, gal_axis_ratio, gal_angle,
 def source_densities_grid(pos_world, gal_frac_dev, gal_axis_ratio, gal_angle,
                           gal_radius_px, patch, band):
     """fs0m and fs1m for one band of a per-source SkyPatch."""
-    P = patch.tile_size
+    P = tuple(patch.pixels.shape[-2:])  # (rows, cols); rows may be sharded
     args = (patch.psf[band], patch.wcs_jacobian[band],
             patch.world_center[band], patch.pixel_center[band],
             patch.offset[band], P)

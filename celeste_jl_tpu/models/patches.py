@@ -36,11 +36,15 @@ class SkyPatch(NamedTuple):
 
 
 def pixel_coord_grids(offset, P, dtype=jnp.float64):
-    """1-based pixel-coordinate grids (x1, x2) each (P, P) for a tile whose
-    0-based corner in the image is `offset` (2,)."""
-    r = jnp.arange(1, P + 1, dtype=dtype)
-    x1 = offset[0].astype(dtype)[None, None] + r[:, None] + jnp.zeros((1, P), dtype)
-    x2 = offset[1].astype(dtype)[None, None] + r[None, :] + jnp.zeros((P, 1), dtype)
+    """1-based pixel-coordinate grids (x1, x2) each (rows, cols) for a tile
+    whose 0-based corner in the image is `offset` (2,). P: int (square tile)
+    or (rows, cols) — rectangular tiles arise when pixel rows are sharded
+    across a mesh axis (parallel/mesh.py)."""
+    rows, cols = (P, P) if isinstance(P, int) else P
+    r1 = jnp.arange(1, rows + 1, dtype=dtype)
+    r2 = jnp.arange(1, cols + 1, dtype=dtype)
+    x1 = offset[0].astype(dtype)[None, None] + r1[:, None] + jnp.zeros((1, cols), dtype)
+    x2 = offset[1].astype(dtype)[None, None] + r2[None, :] + jnp.zeros((rows, 1), dtype)
     return x1, x2
 
 

@@ -26,7 +26,7 @@ def render_source_nmgy(img: Image, ce: CatalogEntry, tile_size=None,
     b = 0
     args = (patch.psf[b], patch.wcs_jacobian[b], patch.world_center[b],
             patch.pixel_center[b], patch.offset[b], P)
-    pos = jnp.asarray(ce.pos, dtype=jnp.float64)
+    pos = jnp.asarray(np.asarray(ce.pos))  # f64 under x64, else f32
     if ce.is_star:
         dens = star_density_grid(pos, *args)
         flux = ce.star_fluxes[img.band]
@@ -104,3 +104,97 @@ def flux_from_colors(r_flux, colors):
     l[1] = l[2] / np.exp(colors[1])
     l[0] = l[1] / np.exp(colors[0])
     return l
+
+
+# ---------------------------------------------------------------------------
+# Vectorized patch-batch generation (benchmark / smoke workloads)
+# ---------------------------------------------------------------------------
+
+def synthetic_patch_batch(n_sources, tile=32, radius=None, sky_nmgy=0.1,
+                          nelec_per_nmgy=1000.0, seed=0, n_bands=5, psf=None,
+                          star_fraction=0.5, dtype=np.float32):
+    """Generate (catalog, vp0s, SkyPatch) for `n_sources` independent
+    synthetic sources, each centered on its own (n_bands, tile, tile) patch.
+
+    Unlike gen_images (which renders whole survey images host-side, one
+    source at a time), this renders every source's expected patch in a single
+    vmapped jit launch — the fast path for benchmarks and smoke tests. Truth
+    is drawn per source: r-band flux log-uniform in [10, 80] nMgy, colors
+    near zero, galaxy shape from broad ranges.
+    """
+    import jax
+
+    from .models.patches import SkyPatch
+    from .models.psf import gaussian_psf
+    from .vi.init import generic_init_source
+
+    rng = np.random.default_rng(seed)
+    radius = radius if radius is not None else tile // 2 - 2
+    psf = np.asarray(psf if psf is not None else gaussian_psf(), dtype=dtype)
+    K = psf.shape[0]
+    ctr = (tile + 1) / 2.0
+
+    pos = ctr + rng.uniform(-0.5, 0.5, size=(n_sources, 2))
+    is_star = rng.uniform(size=n_sources) < star_fraction
+    r_flux = np.exp(rng.uniform(np.log(10.0), np.log(80.0), size=n_sources))
+    colors = rng.normal(0.0, 0.2, size=(n_sources, 4))
+    frac_dev = rng.uniform(0.1, 0.9, size=n_sources)
+    axis_ratio = rng.uniform(0.3, 0.95, size=n_sources)
+    angle = rng.uniform(0.0, np.pi, size=n_sources)
+    radius_px = np.exp(rng.uniform(np.log(0.7), np.log(3.0), size=n_sources))
+
+    catalog = []
+    for s in range(n_sources):
+        fluxes = flux_from_colors(r_flux[s], colors[s])
+        catalog.append(CatalogEntry(
+            pos=pos[s], is_star=bool(is_star[s]),
+            star_fluxes=fluxes if is_star[s] else np.maximum(fluxes, 0.1),
+            gal_fluxes=np.maximum(fluxes, 0.1) if is_star[s] else fluxes,
+            gal_frac_dev=frac_dev[s], gal_axis_ratio=axis_ratio[s],
+            gal_angle=angle[s], gal_radius_px=radius_px[s]))
+
+    # SkyPatch metadata (identity WCS, tile corner at 0)
+    B = n_bands
+    zeros = np.zeros((n_sources, B, 2), dtype=np.int32)
+    jac = np.broadcast_to(np.eye(2, dtype=dtype), (n_sources, B, 2, 2))
+    wc = np.broadcast_to(pos[:, None, :].astype(dtype), (n_sources, B, 2))
+    psf_b = np.broadcast_to(psf, (n_sources, B, K, 6))
+    sky = np.full((n_sources, B, tile, tile), sky_nmgy, dtype=dtype)
+    iota = np.full((n_sources, B, tile, tile), nelec_per_nmgy, dtype=dtype)
+
+    ii = np.arange(1, tile + 1, dtype=dtype)
+    inbox = ((np.abs(ii[:, None] - ctr) <= radius)
+             & (np.abs(ii[None, :] - ctr) <= radius))
+    mask = np.broadcast_to(inbox, (n_sources, B, tile, tile))
+
+    from .models.fsm import galaxy_density_grid, star_density_grid
+
+    def render_one(pos_s, shape_s, fluxes_s, is_star_s, psf_s):
+        def one_band(b):
+            args = (psf_s[b], jnp.eye(2, dtype=psf_s.dtype), pos_s, pos_s,
+                    jnp.zeros(2, dtype=jnp.int32), tile)
+            fs0 = star_density_grid(pos_s, *args)
+            fs1 = galaxy_density_grid(pos_s, shape_s[0], shape_s[1],
+                                      shape_s[2], shape_s[3], *args)
+            dens = jnp.where(is_star_s, fs0, fs1)
+            return fluxes_s[b] * dens
+        return jnp.stack([one_band(b) for b in range(B)])
+
+    shapes = np.stack([frac_dev, axis_ratio, angle, radius_px],
+                      axis=1).astype(dtype)
+    fluxes = np.stack([ce.star_fluxes if ce.is_star else ce.gal_fluxes
+                       for ce in catalog]).astype(dtype)
+    nmgy = jax.jit(jax.vmap(render_one))(
+        pos.astype(dtype), shapes, fluxes, is_star, psf_b)
+    electrons = (np.asarray(nmgy) + sky_nmgy) * nelec_per_nmgy
+    pixels = rng.poisson(np.maximum(electrons, 0.0)).astype(dtype)
+
+    patches = SkyPatch(
+        pixels=jnp.asarray(pixels), mask=jnp.asarray(mask),
+        sky=jnp.asarray(sky), iota=jnp.asarray(iota),
+        offset=jnp.asarray(zeros), wcs_jacobian=jnp.asarray(np.ascontiguousarray(jac)),
+        world_center=jnp.asarray(np.ascontiguousarray(wc)),
+        pixel_center=jnp.asarray(np.ascontiguousarray(wc)),
+        psf=jnp.asarray(np.ascontiguousarray(psf_b)))
+    vp0s = np.stack([generic_init_source(ce.pos) for ce in catalog])
+    return catalog, vp0s.astype(dtype), patches

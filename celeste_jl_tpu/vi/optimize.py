@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..models.params import ids
 from ..ops import bijectors
 from ..ops.newton import NewtonConfig, minimize_newton_tr
-from .elbo import elbo
+from .elbo import elbo_likelihood, subtract_kl
 
 
 class FitResult(NamedTuple):
@@ -38,11 +38,17 @@ def _make_bounds(pos, loc_width=1e-4, loc_scale=1.0):
 
 def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
              config: NewtonConfig = NewtonConfig(), loc_width=1e-4,
-             loc_scale=1.0):
+             loc_scale=1.0, pixel_axis=None):
     """Fit one source. vp0: (44,). Returns FitResult.
 
     bg_E_G / bg_var_G: fixed neighbor brightness images (B, P, P); gradients
     are stopped through them.
+
+    pixel_axis: optional mesh-axis name. When the patch tiles are sharded
+    across devices along their pixel rows (the "context parallel" analog —
+    ELBO is a sum over pixels, so pixel-sharding + psum of the likelihood is
+    exact, SURVEY.md §5), the local likelihood is psum'ed over this axis and
+    each shard runs the identical Newton iteration.
     """
     if bg_E_G is not None:
         bg_E_G = jax.lax.stop_gradient(bg_E_G)
@@ -55,11 +61,24 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
 
     def neg_elbo(free):
         vp = bijectors.to_bound(free, bounds)
-        return -elbo(vp, patch, bg_E_G, bg_var_G, include_kl)
+        ll = elbo_likelihood(vp, patch, bg_E_G, bg_var_G)
+        if include_kl:
+            kl = subtract_kl(vp)
+            if pixel_axis is not None:
+                # Each pixel shard carries an equal share of the KL so the
+                # psum below reconstructs likelihood + KL exactly once.
+                kl = kl / jax.lax.axis_size(pixel_axis)
+            ll = ll + kl
+        return -ll
 
     def fgh(free):
         f, g = jax.value_and_grad(neg_elbo)(free)
         H = jax.hessian(neg_elbo)(free)
+        if pixel_axis is not None:
+            # psum the derivative triple rather than the objective: psum
+            # inside the differentiated function does not accumulate
+            # cotangents across shards under shard_map(check_vma=False).
+            f, g, H = jax.lax.psum((f, g, H), pixel_axis)
         return f, g, H
 
     state = minimize_newton_tr(fgh, free0, config)
