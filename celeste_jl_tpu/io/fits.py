@@ -163,12 +163,17 @@ def _read_bintable(hdr, raw):
         elif code in "IJKED":
             col = col.astype(col.dtype.newbyteorder("="))
         out[name] = np.array(col)
-    # apply TSCAL/TZERO
+    # apply TSCAL/TZERO and TDIM per-row shapes
     for i, name in enumerate(names, start=1):
         tscal = hdr.get(f"TSCAL{i}", 1)
         tzero = hdr.get(f"TZERO{i}", 0)
         if (tscal, tzero) != (1, 0):
             out[name] = out[name] * tscal + tzero
+        tdim = hdr.get(f"TDIM{i}")
+        if tdim:
+            # FITS lists dims fastest-first; numpy row shape reverses them
+            dims = [int(d) for d in str(tdim).strip("() ").split(",")]
+            out[name] = out[name].reshape(nrows, *dims[::-1])
     return out
 
 
@@ -297,20 +302,33 @@ def _bintable_bytes(columns, extra, primary):
     names = list(columns)
     arrs = [np.asarray(columns[n]) for n in names]
     nrows = len(arrs[0]) if arrs else 0
-    fields, tforms = [], []
+    fields, tforms, tdims = [], [], []
     for n, a in zip(names, arrs):
         if a.dtype.kind in "US":
             width = int(a.dtype.itemsize // (4 if a.dtype.kind == "U" else 1))
             fields.append((n, f"S{width}"))
             tforms.append(f"{width}A")
+            tdims.append(None)
         elif a.dtype.kind == "b":
             fields.append((n, "u1"))
             tforms.append("1L")
+            tdims.append(None)
         else:
             code = {"i2": "I", "i4": "J", "i8": "K",
                     "f4": "E", "f8": "D"}[a.dtype.str[1:]]
-            fields.append((n, a.dtype.newbyteorder(">")))
-            tforms.append(f"1{code}")
+            be = a.dtype.newbyteorder(">")
+            if a.ndim > 1:
+                # array-valued column: repeat = row size, TDIM records the
+                # per-row shape in FITS (fastest-first) axis order
+                rep = int(np.prod(a.shape[1:]))
+                fields.append((n, be, (rep,)))
+                tforms.append(f"{rep}{code}")
+                tdims.append("(" + ",".join(str(d) for d
+                                            in a.shape[1:][::-1]) + ")")
+            else:
+                fields.append((n, be))
+                tforms.append(f"1{code}")
+                tdims.append(None)
     dtype = np.dtype(fields)
     table = np.zeros(nrows, dtype=dtype)
     for n, a in zip(names, arrs):
@@ -318,6 +336,8 @@ def _bintable_bytes(columns, extra, primary):
             table[n] = np.where(a, ord("T"), ord("F"))
         elif a.dtype.kind == "U":
             table[n] = a.astype(f"S{dtype[n].itemsize}")
+        elif a.ndim > 1:
+            table[n] = a.reshape(nrows, -1)
         else:
             table[n] = a
     cards = [("XTENSION", "BINTABLE", "binary table"), ("BITPIX", 8, ""),
@@ -327,6 +347,8 @@ def _bintable_bytes(columns, extra, primary):
     for i, (n, tf) in enumerate(zip(names, tforms), start=1):
         cards.append((f"TTYPE{i}", n, ""))
         cards.append((f"TFORM{i}", tf, ""))
+        if tdims[i - 1] is not None:
+            cards.append((f"TDIM{i}", tdims[i - 1], ""))
     for item in (extra or []):
         cards.append(item if len(item) == 3 else (*item, ""))
     return head + _header_bytes(cards) + _pad(table.tobytes())

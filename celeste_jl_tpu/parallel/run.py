@@ -1,0 +1,297 @@
+"""Top-level inference driver (ParallelRun.jl rebuilt TPU-first).
+
+The reference schedules per-source Newton fits across CPU threads with a
+Cyclades conflict-graph partition and a spin-lock work queue
+(ParallelRun.jl:135-397). Here the same serial-equivalence guarantee maps to
+*waves*: within each Cyclades batch, wave w holds the w-th source of every
+connected component — no two sources in a wave conflict, so the whole wave is
+one batched `fit_sources` launch (vmap lanes replace threads). Sources are
+bucketed by patch tile size so every launch has static shapes; neighbor
+sources enter each fit as stop-gradient background brightness rendered from
+the freshest variational parameters (the reference's inactive-source path,
+elbo_objective.jl:33-41).
+"""
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..detection.detect import detect_sources
+from ..models.image import CatalogEntry
+from ..models.patches import stack_patches, make_patch_for_source
+from ..models.psf import get_psf_width
+from ..ops.newton import NewtonConfig
+from ..utils import log as Log
+from ..utils.config import Config
+from ..vi.elbo import source_moment_grids
+from ..vi.init import catalog_init_source, generic_init_source
+from ..vi.optimize import fit_sources
+from .partition import partition_cyclades_dynamic
+
+TILE_BUCKETS = (16, 32, 64, 128)
+MAX_PATCH_RADIUS = 25.0
+
+
+@dataclass
+class OptimizedSource:
+    """Result record for one fitted source (ParallelRun.jl:425-430)."""
+    init_pos: np.ndarray       # (2,) world coords at initialization
+    vs: np.ndarray             # (44,) optimized variational params
+    elbo: float
+    converged: bool
+    is_sky_bad: bool
+
+
+def choose_patch_radius(ce: CatalogEntry, img, width_scale=1.0,
+                        max_radius=MAX_PATCH_RADIUS):
+    """Radius (px) capturing ~90% of the source light or reaching 5% of sky
+    noise, whichever is larger (imaged_sources.jl:197-223 semantics)."""
+    psf_width = get_psf_width(img.psf, width_scale=width_scale)
+    obj_width = (0.0 if ce.is_star
+                 else width_scale * ce.gal_radius_px / 0.67) + psf_width
+    flux = (ce.star_fluxes if ce.is_star else ce.gal_fluxes)[img.band]
+    flux = max(float(flux), 1e-6)
+    eps = float(img.sky_at(img.H // 2, img.W // 2))
+    pdf_90 = math.exp(-0.5 * 1.64 ** 2) / (math.sqrt(2 * math.pi) * obj_width)
+    pdf_target = min(pdf_90, eps / (20.0 * flux))
+    rhs = math.log(pdf_target) + 0.5 * math.log(2 * math.pi) \
+        + math.log(obj_width)
+    radius_req = math.sqrt(max(-2.0 * obj_width ** 2 * rhs, 0.0))
+    return min(radius_req, max_radius)
+
+
+def patch_radii(catalog, images, config: Config):
+    """Per-source radius: max over images, floored at config.min_radius_pix."""
+    return np.array([
+        max(config.min_radius_pix,
+            max(choose_patch_radius(ce, img) for img in images))
+        for ce in catalog])
+
+
+def find_neighbors(catalog, radii, images):
+    """neighbor_map: source index -> indices whose patch boxes overlap in any
+    image (imaged_sources.jl:232-244)."""
+    S = len(catalog)
+    centers = np.array([[img.world_to_pix(ce.pos) for img in images]
+                        for ce in catalog])  # (S, N, 2)
+    nb = {s: [] for s in range(S)}
+    for i in range(S):
+        for j in range(i + 1, S):
+            d = np.abs(centers[i] - centers[j])     # (N, 2)
+            if np.any(np.all(d <= radii[i] + radii[j], axis=1)):
+                nb[i].append(j)
+                nb[j].append(i)
+    return nb
+
+
+def _tile_for_radius(radius):
+    need = int(2 * math.ceil(radius) + 6)
+    for P in TILE_BUCKETS:
+        if P >= need:
+            return P
+    return TILE_BUCKETS[-1]
+
+
+def _next_pow2(n):
+    return 1 << max(0, (n - 1).bit_length())
+
+
+@jax.jit
+def _render_neighbor_bg(nb_vps, nb_mask, patches):
+    """Sum of neighbor E[G] and Var[G] images on each target's patch.
+
+    nb_vps: (W, NB, 44); nb_mask: (W, NB) float; patches: SkyPatch leading W.
+    Returns (bg_E_G, bg_var_G) each (W, B, P, P).
+    """
+    def per_source(nbv, nbm, patch):
+        E, V = jax.vmap(lambda vp: source_moment_grids(vp, patch))(nbv)
+        w = nbm[:, None, None, None]
+        return (E * w).sum(0), (V * w).sum(0)
+
+    return jax.vmap(per_source)(nb_vps, nb_mask, patches)
+
+
+class InferenceState:
+    """Host-side state for one sky box: catalog, per-source patches (bucketed
+    by tile size), variational params, neighbor map."""
+
+    def __init__(self, catalog, images, config: Config,
+                 target_sources=None, max_neighbors=8):
+        self.catalog = catalog
+        self.images = images
+        self.config = config
+        S = len(catalog)
+        self.targets = (list(range(S)) if target_sources is None
+                        else list(target_sources))
+        self.radii = patch_radii(catalog, images, config)
+        self.neighbor_map = find_neighbors(catalog, self.radii, images)
+        self.max_neighbors = max_neighbors
+
+        self.tile = np.array([_tile_for_radius(r) for r in self.radii])
+        self.patches = [
+            make_patch_for_source(images, ce.pos, radius=self.radii[s],
+                                  tile_size=int(self.tile[s]))
+            for s, ce in enumerate(catalog)]
+
+        # init_sources semantics (DeterministicVI.jl:94-103): catalog init
+        # everywhere, generic re-init for optimization targets.
+        self.vps = np.stack([catalog_init_source(ce) for ce in catalog])
+        for s in self.targets:
+            self.vps[s] = generic_init_source(catalog[s].pos)
+
+        # fixed-shape neighbor tables: keep the up-to-max_neighbors nearest
+        self.nb_idx = np.zeros((S, max_neighbors), dtype=np.int64)
+        self.nb_mask = np.zeros((S, max_neighbors))
+        for s in range(S):
+            nbs = self.neighbor_map[s]
+            if len(nbs) > max_neighbors:
+                d = [np.linalg.norm(np.asarray(catalog[s].pos)
+                                    - np.asarray(catalog[n].pos))
+                     for n in nbs]
+                nbs = [nbs[k] for k in np.argsort(d)[:max_neighbors]]
+            for k, n in enumerate(nbs):
+                self.nb_idx[s, k] = n
+                self.nb_mask[s, k] = 1.0
+
+        self.elbos = np.full(S, -np.inf)
+        self.converged = np.zeros(S, dtype=bool)
+        self.iters = np.zeros(S, dtype=np.int64)
+
+    def fit_group(self, idx, newton_config: NewtonConfig, use_bg=True,
+                  bg_vps=None):
+        """One batched launch over sources `idx` (same tile size), padded to
+        a power of two. Updates vps/elbos in place. Neighbor background is
+        rendered from `bg_vps` (default: the live, freshest self.vps)."""
+        n = len(idx)
+        if n == 0:
+            return
+        pad = _next_pow2(n)
+        idx_p = list(idx) + [idx[0]] * (pad - n)
+        patches = stack_patches([self.patches[s] for s in idx_p])
+        vp0 = jnp.asarray(self.vps[idx_p])
+        if use_bg:
+            src = self.vps if bg_vps is None else bg_vps
+            nb_vps = jnp.asarray(src[self.nb_idx[idx_p]])
+            nb_mask = jnp.asarray(self.nb_mask[idx_p])
+            bg_E, bg_V = _render_neighbor_bg(nb_vps, nb_mask, patches)
+            res = fit_sources(vp0, patches, bg_E, bg_V,
+                              config=newton_config)
+        else:
+            res = fit_sources(vp0, patches, config=newton_config)
+        vp = np.asarray(res.vp)[:n]
+        self.vps[idx] = vp
+        self.elbos[np.asarray(idx)] = np.asarray(res.elbo)[:n]
+        self.converged[np.asarray(idx)] = np.asarray(res.converged)[:n]
+        self.iters[np.asarray(idx)] += np.asarray(res.iters)[:n]
+
+
+def _waves(components):
+    """Round-robin the sources of each connected component: wave w = the
+    w-th source of every CC. No two sources in a wave conflict."""
+    out, w = [], 0
+    while True:
+        wave = [c[w] for c in components if len(c) > w]
+        if not wave:
+            return out
+        out.append(wave)
+        w += 1
+
+
+def one_node_joint_infer(catalog, images, target_sources=None,
+                         config=Config(), batch_size=60,
+                         newton_config=NewtonConfig(), max_neighbors=8,
+                         seed=42, state=None):
+    """Joint VI over all targets: num_joint_vi_iters outer iterations over
+    Cyclades batches; each batch's waves run as batched launches with
+    neighbors as freshest-vp background (ParallelRun.jl:135-196)."""
+    st = state or InferenceState(catalog, images, config, target_sources,
+                                 max_neighbors)
+    targets = st.targets
+    nb_for_targets = {s: [n for n in st.neighbor_map[s] if n in set(targets)]
+                      for s in targets}
+    batches = partition_cyclades_dynamic(
+        targets, nb_for_targets, batch_size=batch_size,
+        rng=np.random.default_rng(seed))
+
+    Log.info(f"joint infer: {len(targets)} sources, "
+             f"{len(batches)} Cyclades batches")
+    for it in range(config.num_joint_vi_iters):
+        for comps in batches:
+            for wave in _waves(comps):
+                for P in TILE_BUCKETS:
+                    group = [s for s in wave if st.tile[s] == P]
+                    st.fit_group(group, newton_config, use_bg=True)
+    return _collect_results(st)
+
+
+def one_node_single_infer(catalog, images, target_sources=None,
+                          config=Config(), newton_config=NewtonConfig(),
+                          max_neighbors=8, state=None):
+    """Independent per-source fits with neighbors fixed at their catalog
+    initialization (ParallelRun.jl:546-607 + process_source :468-498)."""
+    st = state or InferenceState(catalog, images, config, target_sources,
+                                 max_neighbors)
+    # bg comes from the *initial* vps for every target, as in the
+    # reference's per-source ElboArgs construction: snapshot first.
+    vps0 = st.vps.copy()
+    for P in TILE_BUCKETS:
+        group = [s for s in st.targets if st.tile[s] == P]
+        st.fit_group(group, newton_config, use_bg=True, bg_vps=vps0)
+    return _collect_results(st)
+
+
+def bad_sky(ce, images):
+    """Flag sources whose background intensity estimate looks inconsistent
+    with the observed pixels (ParallelRun.jl:437-461)."""
+    img = next((im for im in images if im.band == 3), None)
+    if img is None:
+        return False
+    pc = np.asarray(img.world_to_pix(ce.pos))
+    h = int(np.clip(round(pc[0]), 1, img.H)) - 1
+    w = int(np.clip(round(pc[1]), 1, img.W)) - 1
+    claimed_sky = img.sky_at(h, w) * img.iota_at(h)
+    i0, i1 = max(0, h - 50), min(img.H, h + 51)
+    j0, j1 = max(0, w - 50), min(img.W, w + 51)
+    box = img.pixels[i0:i1, j0:j1]
+    observed = np.median(box[~np.isnan(box)]) if box.size else claimed_sky
+    return bool((claimed_sky + 5.0) < observed)
+
+
+def _collect_results(st: InferenceState):
+    results = []
+    for s in st.targets:
+        ce = st.catalog[s]
+        results.append(OptimizedSource(
+            init_pos=np.asarray(ce.pos, dtype=np.float64),
+            vs=st.vps[s].copy(), elbo=float(st.elbos[s]),
+            converged=bool(st.converged[s]),
+            is_sky_bad=bad_sky(ce, st.images)))
+    return results
+
+
+def infer_box(images, box=None, method="joint_vi", catalog=None,
+              config=Config(), **detect_kwargs):
+    """Detect (or take) a catalog and infer all sources inside `box`
+    (ParallelRun.jl:652-673). method: joint_vi | single_vi | mcmc."""
+    if catalog is None:
+        catalog, _ = detect_sources(images, **detect_kwargs)
+    Log.info(f"infer_box: {len(catalog)} detected sources, method={method}")
+    if not catalog:
+        return []
+    if box is not None:
+        pos = np.array([ce.pos for ce in catalog])
+        targets = [i for i in range(len(catalog))
+                   if box.contains(pos[i, 0], pos[i, 1])]
+    else:
+        targets = None
+    if method == "joint_vi":
+        return one_node_joint_infer(catalog, images, targets, config)
+    if method == "single_vi":
+        return one_node_single_infer(catalog, images, targets, config)
+    if method == "mcmc":
+        from ..mcmc.infer import one_node_mcmc_infer
+        return one_node_mcmc_infer(catalog, images, targets, config)
+    raise ValueError(f"unknown method {method!r}")

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 from ..models.brightness import brightness_moments
-from ..models.fsm import source_densities_grid
+from ..models.fsm import source_densities_all_bands
 from ..models.params import ids
 from ..models import priors as priors_mod
 
@@ -29,22 +29,19 @@ from ..models import priors as priors_mod
 def source_moment_grids(vp, patch):
     """E[G]_s and Var[G]_s images for one source on its patch tiles.
 
-    vp: (44,). Returns (E_G_s, var_G_s), each (B, P, P).
+    vp: (44,). Returns (E_G_s, var_G_s), each (B, P, P). Bands are vmapped,
+    not unrolled (see source_densities_all_bands).
     """
     E_l, E_ll = brightness_moments(vp)   # (5, 2)
     a = vp[ids.is_star]                  # (2,)
-    B = patch.n_bands
 
-    def one_band(b):
-        fs0m, fs1m = source_densities_grid(
-            vp[0:2], vp[2], vp[3], vp[4], vp[5], patch, b)
-        E_G_s = a[0] * E_l[b, 0] * fs0m + a[1] * E_l[b, 1] * fs1m
-        E_G2_s = a[0] * E_ll[b, 0] * fs0m ** 2 + a[1] * E_ll[b, 1] * fs1m ** 2
-        return E_G_s, E_G2_s - E_G_s ** 2
-
-    grids = [one_band(b) for b in range(B)]
-    return (jnp.stack([g[0] for g in grids]),
-            jnp.stack([g[1] for g in grids]))
+    fs0m, fs1m = source_densities_all_bands(
+        vp[0:2], vp[2], vp[3], vp[4], vp[5], patch)    # (B, P, P)
+    E_G_s = (a[0] * E_l[:, 0, None, None] * fs0m
+             + a[1] * E_l[:, 1, None, None] * fs1m)
+    E_G2_s = (a[0] * E_ll[:, 0, None, None] * fs0m ** 2
+              + a[1] * E_ll[:, 1, None, None] * fs1m ** 2)
+    return E_G_s, E_G2_s - E_G_s ** 2
 
 
 def elbo_likelihood(vp, patch, bg_E_G=None, bg_var_G=None):

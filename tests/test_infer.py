@@ -1,0 +1,91 @@
+"""Integration tests for the inference driver (test_infer.jl semantics):
+detection -> joint/single VI over overlapping sources -> recovered catalog."""
+
+import numpy as np
+import pytest
+
+from celeste_jl_tpu.models.params import ids
+from celeste_jl_tpu.ops.newton import NewtonConfig
+from celeste_jl_tpu.parallel.run import (InferenceState, find_neighbors,
+                                         infer_box, one_node_joint_infer,
+                                         one_node_single_infer, patch_radii)
+from celeste_jl_tpu.synthetic import (gen_images, make_blank_images,
+                                      sample_galaxy, sample_star)
+from celeste_jl_tpu.utils.config import Config
+
+CFG = Config(num_joint_vi_iters=4)
+NEWTON = NewtonConfig(max_iters=30)
+
+
+def _three_overlapping():
+    images = make_blank_images(H=50, W=50, sky_nmgy=0.05,
+                               nelec_per_nmgy=2000.0)
+    truth = [sample_star(pos=(22.0, 22.0), r_flux=20.0),
+             sample_star(pos=(25.0, 26.0), r_flux=30.0),
+             # radius_px=1.0 keeps the patch radius under 13px so all three
+             # sources share the 32px tile bucket (CPU test speed)
+             sample_galaxy(pos=(30.0, 22.0), r_flux=25.0, gal_radius_px=1.0)]
+    gen_images(images, truth, seed=11)
+    return images, truth
+
+
+def _r_flux(vp, star):
+    i = 0 if star else 1
+    return np.exp(vp[ids.flux_loc[i]] + 0.5 * vp[ids.flux_scale[i]])
+
+
+def test_neighbor_map_from_overlapping_patches():
+    images, truth = _three_overlapping()
+    radii = patch_radii(truth, images, CFG)
+    nb = find_neighbors(truth, radii, images)
+    assert 1 in nb[0] and 0 in nb[1]  # 5px apart, radii >= 8
+    assert all(len(v) >= 1 for v in nb.values())
+
+
+def test_joint_infer_recovers_overlapping_sources():
+    images, truth = _three_overlapping()
+    results = one_node_joint_infer(truth, images, config=CFG,
+                                   newton_config=NEWTON)
+    assert len(results) == 3
+    for res, ce in zip(results, truth):
+        flux = _r_flux(res.vs, ce.is_star)
+        truth_flux = (ce.star_fluxes if ce.is_star else ce.gal_fluxes)[2]
+        assert abs(flux - truth_flux) / truth_flux < 0.15, (flux, truth_flux)
+        p_star = res.vs[ids.is_star[0]]
+        assert (p_star > 0.5) == ce.is_star, (p_star, ce.is_star)
+        assert np.isfinite(res.elbo)
+
+
+def test_joint_at_least_as_good_as_single_on_overlap():
+    images, truth = _three_overlapping()
+    state_j = InferenceState(truth, images, CFG)
+    joint = one_node_joint_infer(truth, images, config=CFG,
+                                 newton_config=NEWTON, state=state_j)
+    single = one_node_single_infer(truth, images, config=CFG,
+                                   newton_config=NEWTON)
+    err_j = err_s = 0.0
+    for rj, rs, ce in zip(joint, single, truth):
+        truth_flux = (ce.star_fluxes if ce.is_star else ce.gal_fluxes)[2]
+        err_j += abs(_r_flux(rj.vs, ce.is_star) - truth_flux) / truth_flux
+        err_s += abs(_r_flux(rs.vs, ce.is_star) - truth_flux) / truth_flux
+    # joint deblending should not be (meaningfully) worse than single
+    assert err_j <= err_s + 0.05, (err_j, err_s)
+
+
+def test_infer_box_end_to_end_with_detection():
+    images, truth = _three_overlapping()
+    results = infer_box(images, method="joint_vi", config=CFG,
+                        thresh=6.0, boxsize=(50, 50), match_radius_deg=1.0)
+    assert len(results) == 3
+    for res in results:
+        assert np.isfinite(res.elbo)
+        assert not res.is_sky_bad
+
+
+def test_single_infer_targets_subset():
+    images, truth = _three_overlapping()
+    results = one_node_single_infer(truth, images, target_sources=[1],
+                                    config=CFG, newton_config=NEWTON)
+    assert len(results) == 1
+    flux = _r_flux(results[0].vs, True)
+    assert abs(flux - 30.0) / 30.0 < 0.2

@@ -1,0 +1,129 @@
+"""MCMC sanity tests (test_mcmc.jl semantics): slice sampler hits a known
+Gaussian, AIS recovers a tractable normalizer, run_ais classifies a star."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from celeste_jl_tpu.mcmc.ais import ais, sigmoid_schedule
+from celeste_jl_tpu.mcmc.infer import potential_scale_reduction, run_ais, run_mcmc
+from celeste_jl_tpu.mcmc.log_prob import (gal_loglike, make_source_target,
+                                          sample_gal_prior,
+                                          sample_star_prior, star_loglike,
+                                          star_logprior)
+from celeste_jl_tpu.mcmc.slice import slicesample, slicesample_chain
+from celeste_jl_tpu.models.patches import make_patch_for_source
+from celeste_jl_tpu.synthetic import (gen_images, make_blank_images,
+                                      sample_galaxy, sample_star)
+
+
+def test_slicesample_gaussian_moments():
+    mu = jnp.array([1.0, -2.0])
+    var = jnp.array([0.5, 2.0])
+
+    def lnpdf(x):
+        return -0.5 * jnp.sum((x - mu) ** 2 / var)
+
+    samps, lls = jax.jit(
+        lambda k: slicesample_chain(k, jnp.zeros(2), lnpdf, 2000)
+    )(jax.random.PRNGKey(0))
+    samps = np.asarray(samps)[200:]
+    np.testing.assert_allclose(samps.mean(0), np.asarray(mu), atol=0.15)
+    np.testing.assert_allclose(samps.var(0), np.asarray(var), rtol=0.25)
+
+
+def test_ais_normalizer_of_scaled_gaussian():
+    # prior N(0,1); posterior = prior + const c => lnZ should estimate c
+    c = 3.0
+
+    def logprior(x):
+        return -0.5 * jnp.sum(x ** 2) - 0.5 * np.log(2 * np.pi)
+
+    def logpost(x):
+        return logprior(x) + c
+
+    schedule = sigmoid_schedule(30, rad=4.0)
+    keys = jax.random.split(jax.random.PRNGKey(1), 16)
+    run = jax.jit(jax.vmap(
+        lambda k: ais(k, logpost, logprior,
+                      jax.random.normal(k, (1,)), jnp.asarray(schedule))))
+    _, ws = run(keys)
+    lnZ = jax.scipy.special.logsumexp(ws) - np.log(len(keys))
+    assert abs(float(lnZ) - c) < 0.2, float(lnZ)
+
+
+@pytest.fixture(scope="module")
+def star_scene():
+    images = make_blank_images(H=40, W=40, sky_nmgy=0.1,
+                               nelec_per_nmgy=1000.0)
+    ce = sample_star(pos=(20.0, 20.0), r_flux=25.0)
+    gen_images(images, [ce], seed=5)
+    return images, ce
+
+
+def test_loglike_peaks_at_truth(star_scene):
+    images, ce = star_scene
+    patch = make_patch_for_source(images, ce.pos, radius=8, tile_size=32)
+    tgt = make_source_target(patch, image=images[0], entry_pos=ce.pos)
+    th_true = jnp.concatenate([jnp.log(jnp.asarray(ce.star_fluxes)),
+                               jnp.array([0.5, 0.5])])
+    ll_true = float(star_loglike(th_true, tgt))
+    ll_dim = float(star_loglike(th_true.at[:5].add(-1.0), tgt))
+    ll_off = float(star_loglike(th_true.at[5].add(0.4), tgt))
+    assert ll_true > ll_dim
+    assert ll_true > ll_off
+
+
+def test_prior_samplers_finite():
+    k = jax.random.PRNGKey(3)
+    ths = jax.vmap(sample_star_prior)(jax.random.split(k, 32))
+    thg = jax.vmap(sample_gal_prior)(jax.random.split(k, 32))
+    assert np.all(np.isfinite(np.asarray(ths)))
+    assert np.all(np.isfinite(np.asarray(thg)))
+    assert np.all(np.asarray(thg)[:, 10] > 0)  # radius positive
+
+
+def test_run_ais_star_posterior(star_scene):
+    # A bright star is fit ~equally well by a tiny-radius galaxy, so the
+    # star-vs-galaxy Bayes factor is a few nats — below AIS noise at test
+    # budgets (the reference has the same property). Assert the posterior
+    # *samples* recover the source and p(star) is a valid probability.
+    images, ce = star_scene
+    res = run_ais(ce, images, num_temperatures=20, num_samples=4,
+                  num_samples_per_chain=10, seed=0)
+    assert 0.0 <= res["ave_pstar"] <= 1.0
+    # posterior flux near truth: median of r-band flux samples
+    flux = np.exp(np.median(res["star_samples"][:, 2]))
+    assert abs(flux - 25.0) / 25.0 < 0.2, flux
+    # position samples are in world coords near the source
+    pos = res["star_samples"][:, 5:7].mean(0)
+    assert np.linalg.norm(pos - np.array([20.0, 20.0])) < 0.5
+
+
+def test_run_ais_classifies_extended_galaxy():
+    # An extended galaxy cannot be explained by the (point-like) star
+    # model: the likelihood gap is thousands of nats, far above AIS noise.
+    images = make_blank_images(H=40, W=40, sky_nmgy=0.1,
+                               nelec_per_nmgy=1000.0)
+    ce = sample_galaxy(pos=(20.0, 20.0), r_flux=40.0, gal_radius_px=2.5,
+                       gal_axis_ratio=0.8)
+    gen_images(images, [ce], seed=6)
+    res = run_ais(ce, images, num_temperatures=20, num_samples=4,
+                  num_samples_per_chain=5, seed=0)
+    assert res["ave_pstar"] < 0.1, res["ave_pstar"]
+
+
+def test_run_mcmc_chain_recovers_flux(star_scene):
+    images, ce = star_scene
+    samps, lls = run_mcmc(ce, images, num_samples=200, seed=1)
+    flux = np.exp(np.median(samps[100:, 2]))
+    assert abs(flux - 25.0) / 25.0 < 0.15, flux
+    assert np.all(np.isfinite(lls))
+
+
+def test_psrf_near_one_for_iid_chains():
+    rng = np.random.default_rng(0)
+    chains = rng.normal(size=(4, 500, 3))
+    psrf = potential_scale_reduction(chains)
+    assert np.all(psrf < 1.1)
