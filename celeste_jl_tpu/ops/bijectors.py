@@ -53,9 +53,14 @@ def default_box_bounds(pos, loc_width=1e-4, loc_scale=1.0):
 
 
 def simplex_to_bound(free, floor):
-    """free (n-1,) -> bound (n,): floored softmax of [free, 0]."""
+    """free (n-1,) -> bound (n,): floored softmax of [free, 0].
+
+    The max subtraction includes the implicit 0 logit: with only
+    max(free), a uniformly very negative `free` overflows exp(-m) and
+    poisons the whole simplex with NaN (same value mathematically).
+    """
     n = free.shape[0] + 1
-    m = jnp.max(free)  # max over explicit entries only (matches reference)
+    m = jnp.maximum(jnp.max(free), 0.0)
     e = jnp.exp(free - m)
     last = jnp.exp(-m)
     total = jnp.sum(e) + last

@@ -125,8 +125,11 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
         f_new, g_new, H_new = fgh(x_new)
 
         rho = jnp.where(pred > 0.0, (st.f - f_new) / pred, -1.0)
-        # Guard NaNs in the trial point.
-        bad = ~jnp.isfinite(f_new)
+        # Guard NaNs/Infs in the trial point — including its derivatives:
+        # accepting a finite-f point with non-finite g/H would wedge every
+        # subsequent subproblem.
+        bad = (~jnp.isfinite(f_new)) | (~jnp.all(jnp.isfinite(g_new))) \
+            | (~jnp.all(jnp.isfinite(H_new)))
         rho = jnp.where(bad, -1.0, rho)
         accept = rho >= config.eta
 
