@@ -295,16 +295,41 @@ def photoobj_to_catalog(cat):
 class SDSSDataSet(SurveyDataSet):
     """SDSS data rooted at `basedir` (SDSSIO.jl:548-566). dirlayout:
     'celeste' (basedir/run/camcol[/field]/file) or 'sdss' (the survey file
-    server layout). compressed: frames .bz2, masks .gz."""
+    server layout). compressed: frames .bz2, masks .gz.
+
+    iostrategy: 'plain' reads the local filesystem; 'http' fetches raw FITS
+    bytes from a file server at `basedir` (an http(s):// URL) — the
+    distributed-I/O replacement for the reference's masterrpc
+    remotecall_fetch (SDSSIO.jl:677-692) and nginx HTTPStrategy
+    (contrib/http/httpio.jl): workers on many hosts read one shared
+    server instead of a shared filesystem. Auto-selected when basedir is a
+    URL."""
 
     def __init__(self, basedir, dirlayout="celeste", compressed=False,
-                 slurp=False):
+                 slurp=False, iostrategy=None):
         if dirlayout not in ("celeste", "sdss"):
             raise ValueError(f"unknown dirlayout {dirlayout!r}")
         self.basedir = str(basedir)
+        if iostrategy is None:
+            iostrategy = ("http" if self.basedir.startswith(("http://",
+                                                             "https://"))
+                          else "plain")
+        if iostrategy not in ("plain", "http"):
+            raise ValueError(f"unknown iostrategy {iostrategy!r}")
+        self.iostrategy = iostrategy
         self.dirlayout = dirlayout
         self.compressed = compressed
         self.slurp = slurp  # open_fits always slurps; kept for API parity
+
+    def _fetch(self, path):
+        """Raw file bytes via the configured I/O strategy."""
+        if self.iostrategy == "http":
+            from urllib.request import urlopen
+            url = path.replace(os.sep, "/")
+            with urlopen(url) as resp:
+                return resp.read()
+        with open(path, "rb") as f:
+            return f.read()
 
     # -- filenames (SDSSIO.jl:615-649)
 
@@ -344,7 +369,7 @@ class SDSSDataSet(SurveyDataSet):
         return path
 
     def _open(self, kind, rcf, band=None):
-        return open_fits(self._path(kind, rcf, band))
+        return open_fits(self._fetch(self._path(kind, rcf, band)))
 
     # -- loading (SDSSIO.jl:738-821)
 
@@ -383,7 +408,7 @@ class SDSSDataSet(SurveyDataSet):
 
     def field_extents(self):
         path = os.path.join(self.basedir, "field_extents.fits")
-        tbl = open_fits(path)[1].data
+        tbl = open_fits(self._fetch(path))[1].data
         return tbl
 
     def get_overlapping_fields(self, box: BoundingBox):

@@ -8,15 +8,24 @@ Replaces Optim.jl's NewtonTrustRegion driver (ElboMaximize.jl:95-108,
   * one lax.while_loop per fit — under vmap this becomes a masked loop that
     exits when *all* lanes converge, the "per-source convergence divergence"
     strategy from SURVEY.md §7;
-  * the objective must return (value, gradient, Hessian) at a point; the
-    caller supplies it (e.g. jax.value_and_grad + jax.hessian of the ELBO).
+  * the Hessian is ~90x the cost of the gradient under AD (41 forward
+    tangents over the reverse pass), so the loop refreshes it (and its
+    eigendecomposition) only every `hess_every` steps; the in-between
+    trust-region steps reuse the stale curvature with fresh gradients.
+    Lagged-Hessian Newton takes ~2x the steps of exact Newton at ~1/6 the
+    per-step cost, and — unlike SR1/BFGS curvature updates, which were
+    tried and landed in visibly worse basins on multimodal star/galaxy
+    fits — it follows the exact-Newton trajectory closely. Exact-Newton
+    behavior at hess_every=1.
 
 Defaults mirror the reference: initial_delta=1.0, delta_hat=1e9, eta=0.1,
-rho bounds 0.25/0.75, xtol=1e-7, ftol=1e-6, gtol=1e-8, <=50 iterations.
+rho bounds 0.25/0.75, xtol=1e-7, ftol=1e-6, gtol=1e-8, <=max_iters
+Hessian refreshes (the reference's <=50 Newton iterations,
+ElboMaximize.jl:99).
 """
 
 from functools import partial
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,30 +41,27 @@ class NewtonConfig(NamedTuple):
     xtol_abs: float = 1e-7
     ftol_rel: float = 1e-6
     gtol_abs: float = 1e-8
-    bisect_iters: int = 64
+    bisect_iters: int = 48
+    hess_every: int = 6
 
 
 class NewtonState(NamedTuple):
     x: jnp.ndarray
     f: jnp.ndarray
     g: jnp.ndarray
-    H: jnp.ndarray
     delta: jnp.ndarray
-    iters: jnp.ndarray
+    iters: jnp.ndarray       # total TR steps attempted
     f_calls: jnp.ndarray
+    hess_calls: jnp.ndarray
     converged: jnp.ndarray
 
 
-def solve_tr_subproblem(g, H, delta, bisect_iters=64):
-    """argmin_p g.p + 0.5 p'Hp  s.t. ||p|| <= delta (nearly exact).
-
-    Returns (p, predicted_reduction) with predicted_reduction >= 0.
-    """
-    D = g.shape[0]
-    w, Q = jnp.linalg.eigh(H)
-    gq = Q.T @ g
+def _solve_tr_eig(gq, w, delta, bisect_iters=48):
+    """TR subproblem in the eigenbasis: argmin gq.p + 0.5 p'diag(w)p,
+    ||p|| <= delta. Returns (p_eig, predicted_reduction >= 0)."""
+    D = gq.shape[0]
     lam_min = w[0]
-    eps = jnp.asarray(1e-12, g.dtype)
+    eps = jnp.asarray(1e-12, gq.dtype)
 
     def pnorm(lam):
         return jnp.linalg.norm(gq / (w + lam))
@@ -69,7 +75,7 @@ def solve_tr_subproblem(g, H, delta, bisect_iters=64):
     # Otherwise find lam > max(0, -lam_min) with ||p(lam)|| = delta.
     lo = jnp.maximum(0.0, -lam_min) + eps
     hi = jnp.maximum(lo * 2.0 + 1.0,
-                     jnp.linalg.norm(g) / jnp.maximum(delta, eps)
+                     jnp.linalg.norm(gq) / jnp.maximum(delta, eps)
                      + jnp.maximum(0.0, -lam_min) + 1.0)
 
     def bisect(carry, _):
@@ -83,55 +89,73 @@ def solve_tr_subproblem(g, H, delta, bisect_iters=64):
     (lo_f, hi_f), _ = jax.lax.scan(bisect, (lo, hi), None,
                                    length=bisect_iters)
     lam = 0.5 * (lo_f + hi_f)
-    p_boundary_eig = -(gq / (w + lam))
+    p_boundary = -(gq / (w + lam))
 
     # Hard case: ||p(lam)|| < delta even at lam -> -lam_min because gq has no
     # component along the bottom eigenvector. Move along it to the boundary.
-    bnorm = jnp.linalg.norm(p_boundary_eig)
+    bnorm = jnp.linalg.norm(p_boundary)
     tau = jnp.sqrt(jnp.maximum(delta ** 2 - bnorm ** 2, 0.0))
     hard = (bnorm < 0.9 * delta) & (lam_min < eps)
-    e0 = jnp.zeros(D, g.dtype).at[0].set(1.0)  # bottom eigvec in eig basis
-    p_eig = jnp.where(hard, p_boundary_eig + tau * e0, p_boundary_eig)
-
-    p = jnp.where(interior, Q @ p_newton, Q @ p_eig)
-    pred = -(g @ p + 0.5 * p @ (H @ p))
+    e0 = jnp.zeros(D, gq.dtype).at[0].set(1.0)  # bottom eigvec in eig basis
+    p = jnp.where(interior, p_newton,
+                  jnp.where(hard, p_boundary + tau * e0, p_boundary))
+    pred = -(gq @ p + 0.5 * p @ (w * p))
     return p, jnp.maximum(pred, 0.0)
 
 
-def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
-                       config: NewtonConfig = NewtonConfig()):
-    """Minimize fgh's value with trust-region Newton.
+def solve_tr_subproblem(g, H, delta, bisect_iters=48):
+    """argmin_p g.p + 0.5 p'Hp  s.t. ||p|| <= delta (nearly exact).
 
-    fgh(x) -> (f, g, H). Returns final NewtonState. vmap over x0 (and any
-    closure data of fgh) for batched fits.
+    Returns (p, predicted_reduction) with predicted_reduction >= 0.
     """
-    f0, g0, H0 = fgh(x0)
+    w, Q = jnp.linalg.eigh(H)
+    p_eig, pred = _solve_tr_eig(Q.T @ g, w, delta, bisect_iters)
+    return Q @ p_eig, pred
+
+
+def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
+                       config: NewtonConfig = NewtonConfig(),
+                       fg: Optional[Callable] = None):
+    """Minimize fgh's value with (lagged-Hessian) trust-region Newton.
+
+    fgh(x) -> (f, g, H); fg(x) -> (f, g) — a cheaper evaluator used for the
+    config.hess_every-1 steps between Hessian refreshes (defaults to
+    discarding fgh's H). Returns final NewtonState. vmap over x0 (and any
+    closure data of fgh/fg) for batched fits.
+    """
+    if fg is None:
+        def fg(x):
+            f, g, _ = fgh(x)
+            return f, g
+
+    f0, g0 = fg(x0)
     dtype = x0.dtype
     state0 = NewtonState(
-        x=x0, f=f0, g=g0, H=H0,
+        x=x0, f=f0, g=g0,
         delta=jnp.asarray(config.initial_delta, dtype),
         iters=jnp.asarray(0, jnp.int32),
         f_calls=jnp.asarray(1, jnp.int32),
+        hess_calls=jnp.asarray(0, jnp.int32),
         converged=jnp.asarray(False),
     )
 
-    def cond(st: NewtonState):
-        return (~st.converged) & (st.iters < config.max_iters)
-
-    def body(st: NewtonState):
-        p, pred = solve_tr_subproblem(st.g, st.H, st.delta,
-                                      config.bisect_iters)
+    def tr_step(st: NewtonState, wQ):
+        """One TR step with the (possibly stale) Hessian eigendecomposition
+        wQ and the fresh gradient in st. No-op on converged lanes."""
+        w, Q = wQ
+        p_eig, pred = _solve_tr_eig(Q.T @ st.g, w, st.delta,
+                                    config.bisect_iters)
+        p = Q @ p_eig
         x_new = st.x + p
-        f_new, g_new, H_new = fgh(x_new)
+        f_new, g_new = fg(x_new)
 
         rho = jnp.where(pred > 0.0, (st.f - f_new) / pred, -1.0)
-        # Guard NaNs/Infs in the trial point — including its derivatives:
-        # accepting a finite-f point with non-finite g/H would wedge every
+        # Guard NaNs/Infs in the trial point — including its gradient:
+        # accepting a finite-f point with non-finite g would wedge every
         # subsequent subproblem.
-        bad = (~jnp.isfinite(f_new)) | (~jnp.all(jnp.isfinite(g_new))) \
-            | (~jnp.all(jnp.isfinite(H_new)))
+        bad = (~jnp.isfinite(f_new)) | (~jnp.all(jnp.isfinite(g_new)))
         rho = jnp.where(bad, -1.0, rho)
-        accept = rho >= config.eta
+        accept = (rho >= config.eta) & (~st.converged)
 
         pnorm = jnp.linalg.norm(p)
         delta = jnp.where(
@@ -139,21 +163,36 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
             jnp.where((rho > config.rho_upper) & (pnorm >= 0.99 * st.delta),
                       jnp.minimum(2.0 * st.delta, config.delta_hat),
                       st.delta))
+        delta = jnp.where(st.converged, st.delta, delta)
 
         x = jnp.where(accept, x_new, st.x)
         f = jnp.where(accept, f_new, st.f)
         g = jnp.where(accept, g_new, st.g)
-        H = jnp.where(accept, H_new, st.H)
 
         x_conv = accept & (jnp.max(jnp.abs(p)) < config.xtol_abs)
         f_conv = accept & (jnp.abs(f_new - st.f)
                            < config.ftol_rel * jnp.abs(st.f))
         g_conv = jnp.max(jnp.abs(g)) < config.gtol_abs
         tiny_tr = delta < 1e-14
-        converged = x_conv | f_conv | g_conv | tiny_tr
+        converged = st.converged | x_conv | f_conv | g_conv | tiny_tr
 
-        return NewtonState(x=x, f=f, g=g, H=H, delta=delta,
-                           iters=st.iters + 1, f_calls=st.f_calls + 1,
-                           converged=converged)
+        return NewtonState(
+            x=x, f=f, g=g, delta=delta,
+            iters=st.iters + jnp.where(st.converged, 0, 1),
+            f_calls=st.f_calls + jnp.where(st.converged, 0, 1),
+            hess_calls=st.hess_calls, converged=converged)
 
-    return jax.lax.while_loop(cond, body, state0)
+    def cycle(st: NewtonState):
+        """Refresh the exact Hessian at st.x (one eigendecomposition), then
+        hess_every TR steps reusing it with fresh gradients."""
+        f, g, H = fgh(st.x)
+        wQ = jnp.linalg.eigh(H)
+        st = st._replace(f=f, g=g, hess_calls=st.hess_calls + 1)
+        st, _ = jax.lax.scan(lambda s, _: (tr_step(s, wQ), None), st,
+                             None, length=max(config.hess_every, 1))
+        return st
+
+    def cond(st: NewtonState):
+        return (~st.converged) & (st.hess_calls < config.max_iters)
+
+    return jax.lax.while_loop(cond, cycle, state0)

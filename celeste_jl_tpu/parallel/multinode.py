@@ -1,0 +1,182 @@
+"""Multi-node sky-box farming (the reference's cluster layer rebuilt).
+
+The reference distributes work as one process per RA/Dec box with no
+inter-box communication — Slurm taskfarmer at NERSC (contrib/nersc/infer.sl)
+plus a historical Dtree distributed work-stealing scheduler
+(contrib/http/infer_boxes_http.jl). The TPU-native equivalent:
+
+  * `split_box` — partition a big BoundingBox into a grid of sub-boxes
+    (contrib/nersc/list_rcfs.jl / list_quarters.jl role);
+  * `FileWorkQueue` — a filesystem-based dynamic work queue: any number of
+    worker processes/hosts sharing a directory (NFS/GCS-fuse) atomically
+    claim boxes via O_EXCL lock files and mark them done by writing the
+    result file. This is the Dtree/taskfarmer replacement: dynamic stealing,
+    no coordinator process, elastic (a crashed worker's stale claim is
+    reclaimed after `stale_s`).
+  * `run_worker` — claim-infer-save loop for one process. Failed boxes are
+    released for retry (up to `max_attempts`) — the reference's "a failed
+    box task is just re-run" elasticity (SURVEY.md §5).
+
+Checkpoint/resume granularity is the box, like the reference (main.jl:50-56):
+a box whose result file exists is never re-run, so resume = rerun the farm.
+Within a host, chips are used by the batched fit launches themselves
+(parallel/mesh.py); across hosts, start one worker per host. For multi-host
+JAX pods, call `jax.distributed.initialize()` before `run_worker` and gate
+the queue on `jax.process_index() == 0` of each host group.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+from ..io.dataset import BoundingBox
+from ..utils import log as Log
+
+
+def split_box(box: BoundingBox, n_ra: int, n_dec: int):
+    """Partition `box` into an n_ra x n_dec grid of sub-boxes."""
+    ras = np.linspace(box.ramin, box.ramax, n_ra + 1)
+    decs = np.linspace(box.decmin, box.decmax, n_dec + 1)
+    return [BoundingBox(ras[i], ras[i + 1], decs[j], decs[j + 1])
+            for i in range(n_ra) for j in range(n_dec)]
+
+
+def box_name(box: BoundingBox):
+    return (f"{box.ramin:.4f}-{box.ramax:.4f}"
+            f"-{box.decmin:.4f}-{box.decmax:.4f}")
+
+
+class FileWorkQueue:
+    """Atomic filesystem work queue over sky boxes.
+
+    Layout under `workdir`:
+      boxes.json                 — the task list (written once by any rank)
+      claims/<name>.claim        — O_EXCL lock file, holds claimer + attempt
+      celeste-<name>.npz         — result file; its existence means done
+    """
+
+    def __init__(self, workdir, boxes=None, stale_s=3600.0, max_attempts=3):
+        self.workdir = workdir
+        self.claims = os.path.join(workdir, "claims")
+        os.makedirs(self.claims, exist_ok=True)
+        self.stale_s = stale_s
+        self.max_attempts = max_attempts
+        self.tasks_file = os.path.join(workdir, "boxes.json")
+        if boxes is not None and not os.path.exists(self.tasks_file):
+            tmp = self.tasks_file + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump([[b.ramin, b.ramax, b.decmin, b.decmax]
+                           for b in boxes], f)
+            os.replace(tmp, self.tasks_file)  # atomic publish
+
+    def boxes(self):
+        with open(self.tasks_file) as f:
+            return [BoundingBox(*row) for row in json.load(f)]
+
+    def _result_file(self, box):
+        return os.path.join(self.workdir, f"celeste-{box_name(box)}.npz")
+
+    def _claim_file(self, box):
+        return os.path.join(self.claims, f"{box_name(box)}.claim")
+
+    def done(self, box):
+        return os.path.exists(self._result_file(box))
+
+    def _read_claim(self, path):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except Exception:
+            return {"t": 0.0, "attempt": 0}
+
+    def try_claim(self, box, worker_id):
+        """Atomically claim `box`. Returns the attempt number, or None if the
+        box is done, actively claimed, or exhausted its attempts."""
+        if self.done(box):
+            return None
+        path = self._claim_file(box)
+        attempt = 1
+        if os.path.exists(path):
+            prev = self._read_claim(path)
+            age = time.time() - prev.get("t", 0.0)
+            if age < self.stale_s:
+                return None              # actively claimed
+            attempt = prev.get("attempt", 0) + 1
+            if attempt > self.max_attempts:
+                return None              # permanently failed
+            try:
+                os.unlink(path)          # reclaim stale lock
+            except FileNotFoundError:
+                pass
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return None                  # raced another worker
+        with os.fdopen(fd, "w") as f:
+            json.dump({"worker": worker_id, "t": time.time(),
+                       "attempt": attempt}, f)
+        return attempt
+
+    def release(self, box):
+        """Release a claim after failure so another worker may retry (the
+        attempt count is kept in the claim file until reclaimed)."""
+        path = self._claim_file(box)
+        if os.path.exists(path):
+            prev = self._read_claim(path)
+            prev["t"] = 0.0              # mark immediately stale
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(prev, f)
+            os.replace(tmp, path)
+
+    def pending(self):
+        return [b for b in self.boxes() if not self.done(b)]
+
+
+def run_worker(queue: FileWorkQueue, load_images, method="joint_vi",
+               config=None, worker_id=None, infer=None, max_boxes=None):
+    """Claim-infer-save loop for one worker process.
+
+    load_images: BoundingBox -> [Image] (e.g. dataset.load_images).
+    infer: override the inference callable (images, box, method, config) ->
+    results, for tests. Returns the number of boxes this worker completed.
+    """
+    from ..main import save_results
+    from ..utils.config import Config
+    from .run import infer_box
+
+    config = config or Config()
+    worker_id = worker_id or f"{os.uname().nodename}:{os.getpid()}"
+    infer = infer or (lambda images, box: infer_box(
+        images, box=box, method=method, config=config))
+
+    completed = 0
+    progress = True
+    while progress and (max_boxes is None or completed < max_boxes):
+        progress = False
+        for box in queue.boxes():
+            if max_boxes is not None and completed >= max_boxes:
+                break
+            if queue.done(box):
+                continue
+            attempt = queue.try_claim(box, worker_id)
+            if attempt is None:
+                continue
+            progress = True
+            Log.info(f"worker {worker_id}: box {box_name(box)} "
+                     f"(attempt {attempt})")
+            try:
+                t0 = time.perf_counter()
+                images = load_images(box)
+                results = infer(images, box)
+                save_results(queue.workdir, box, results)
+                completed += 1
+                Log.info(f"worker {worker_id}: box {box_name(box)} done, "
+                         f"{len(results)} sources in "
+                         f"{time.perf_counter() - t0:.1f}s")
+            except Exception as exc:
+                Log.exception(exc)
+                queue.release(box)
+    return completed

@@ -25,6 +25,7 @@ from ..models.patches import stack_patches, make_patch_for_source
 from ..models.psf import get_psf_width
 from ..ops.newton import NewtonConfig
 from ..utils import log as Log
+from ..utils import telemetry
 from ..utils.config import Config
 from ..vi.elbo import source_moment_grids
 from ..vi.init import catalog_init_source, generic_init_source
@@ -33,6 +34,13 @@ from .partition import partition_cyclades_dynamic
 
 TILE_BUCKETS = (16, 32, 64, 128)
 MAX_PATCH_RADIUS = 25.0
+
+
+def is_production_run():
+    """In production, per-source/per-launch failures are logged and skipped;
+    in development they raise (ParallelRun.jl:419 CELESTE_PROD semantics)."""
+    import os
+    return os.environ.get("CELESTE_PROD", "") not in ("", "0", "false")
 
 
 @dataclass
@@ -172,20 +180,38 @@ class InferenceState:
         idx_p = list(idx) + [idx[0]] * (pad - n)
         patches = stack_patches([self.patches[s] for s in idx_p])
         vp0 = jnp.asarray(self.vps[idx_p])
-        if use_bg:
-            src = self.vps if bg_vps is None else bg_vps
-            nb_vps = jnp.asarray(src[self.nb_idx[idx_p]])
-            nb_mask = jnp.asarray(self.nb_mask[idx_p])
-            bg_E, bg_V = _render_neighbor_bg(nb_vps, nb_mask, patches)
-            res = fit_sources(vp0, patches, bg_E, bg_V,
-                              config=newton_config)
-        else:
-            res = fit_sources(vp0, patches, config=newton_config)
+        try:
+            with telemetry.launch_timer():
+                if use_bg:
+                    src = self.vps if bg_vps is None else bg_vps
+                    nb_vps = jnp.asarray(src[self.nb_idx[idx_p]])
+                    nb_mask = jnp.asarray(self.nb_mask[idx_p])
+                    bg_E, bg_V = _render_neighbor_bg(nb_vps, nb_mask, patches)
+                    res = fit_sources(vp0, patches, bg_E, bg_V,
+                                      config=newton_config)
+                else:
+                    res = fit_sources(vp0, patches, config=newton_config)
+                jax.block_until_ready(res.vp)
+        except Exception as exc:
+            # Production semantics: log the failed launch and keep the
+            # sources at their previous state (ParallelRun.jl:390-396,
+            # :589-595 catch-log-continue; dev mode rethrows).
+            if not is_production_run():
+                raise
+            Log.exception(exc)
+            telemetry.counters.failures += len(idx)
+            return
         vp = np.asarray(res.vp)[:n]
         self.vps[idx] = vp
         self.elbos[np.asarray(idx)] = np.asarray(res.elbo)[:n]
         self.converged[np.asarray(idx)] = np.asarray(res.converged)[:n]
         self.iters[np.asarray(idx)] += np.asarray(res.iters)[:n]
+        mask = np.asarray(patches.mask)
+        telemetry.record_fit_launch(
+            n, pad - n,
+            pixels_per_lane_real=mask[:n].sum(axis=(1, 2, 3)),
+            pixels_per_lane_total=mask[0].size,
+            f_calls=np.asarray(res.f_calls))
 
 
 def _waves(components):
@@ -218,12 +244,14 @@ def one_node_joint_infer(catalog, images, target_sources=None,
 
     Log.info(f"joint infer: {len(targets)} sources, "
              f"{len(batches)} Cyclades batches")
+    telemetry.counters.reset()
     for it in range(config.num_joint_vi_iters):
         for comps in batches:
             for wave in _waves(comps):
                 for P in TILE_BUCKETS:
                     group = [s for s in wave if st.tile[s] == P]
                     st.fit_group(group, newton_config, use_bg=True)
+    telemetry.counters.report("joint infer")
     return _collect_results(st)
 
 
@@ -237,9 +265,11 @@ def one_node_single_infer(catalog, images, target_sources=None,
     # bg comes from the *initial* vps for every target, as in the
     # reference's per-source ElboArgs construction: snapshot first.
     vps0 = st.vps.copy()
+    telemetry.counters.reset()
     for P in TILE_BUCKETS:
         group = [s for s in st.targets if st.tile[s] == P]
         st.fit_group(group, newton_config, use_bg=True, bg_vps=vps0)
+    telemetry.counters.report("single infer")
     return _collect_results(st)
 
 

@@ -1,0 +1,86 @@
+"""Work counters + launch telemetry (the reference's tracing subsystem).
+
+The reference counts pixel-visits per ELBO evaluation
+(active/inactive_pixel_counter, elbo_args.jl:62-63, elbo_objective.jl:352-357)
+and logs per-batch thread wall times and idle percentage
+(ParallelRun.jl:327-365). The TPU analogs recorded here:
+
+  * pixel_visits      — mask-true pixels x Newton f-calls, summed over fits
+                        (the reference's active-pixel counter);
+  * padded_visits     — same, but for padding lanes / masked-out pixels: work
+                        the device does that a perfectly-ragged launch would
+                        not (the analog of thread idle time);
+  * launches, launch_s — batched device launches and their wall time.
+
+Utilization = pixel_visits / (pixel_visits + padded_visits) — the fraction of
+device pixel-work that was real, mirroring the reference's idle-percentage
+report.
+"""
+
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+from . import log as Log
+
+
+@dataclass
+class Counters:
+    pixel_visits: int = 0
+    padded_visits: int = 0
+    launches: int = 0
+    launch_s: float = 0.0
+    sources_fit: int = 0
+    newton_iters: int = 0
+    failures: int = 0
+
+    def reset(self):
+        self.__init__()
+
+    def utilization(self):
+        total = self.pixel_visits + self.padded_visits
+        return self.pixel_visits / total if total else 1.0
+
+    def report(self, prefix="telemetry"):
+        ut = self.utilization()
+        visits_per_s = (self.pixel_visits / self.launch_s
+                        if self.launch_s > 0 else 0.0)
+        Log.info(
+            f"{prefix}: {self.sources_fit} fits in {self.launches} launches "
+            f"({self.launch_s:.2f}s), {self.pixel_visits:.3g} pixel-visits "
+            f"({visits_per_s:.3g}/s), utilization {100 * ut:.1f}%, "
+            f"{self.newton_iters} newton iters, {self.failures} failures")
+
+
+# module-level counters, reset per box by the drivers
+counters = Counters()
+
+
+@contextmanager
+def launch_timer():
+    """Times one batched device launch into the global counters."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        counters.launches += 1
+        counters.launch_s += time.perf_counter() - t0
+
+
+def record_fit_launch(n_real, n_padded, pixels_per_lane_real,
+                      pixels_per_lane_total, f_calls):
+    """Account one fit_sources launch: n_real real lanes and n_padded padding
+    lanes of a tile with `pixels_per_lane_total` pixel slots of which
+    `pixels_per_lane_real` (per real lane, summed) were mask-true. f_calls:
+    per-lane Newton function evaluations (array, length n_real+n_padded)."""
+    import numpy as np
+
+    f = np.asarray(f_calls)
+    real_calls = f[:n_real]
+    pad_calls = f[n_real:]
+    counters.sources_fit += n_real
+    counters.newton_iters += int(real_calls.sum())
+    real = float((pixels_per_lane_real * real_calls).sum())
+    total = float(pixels_per_lane_total) * float(f.sum())
+    counters.pixel_visits += int(real)
+    counters.padded_visits += int(max(total - real, 0.0))

@@ -26,34 +26,47 @@ from ..models.params import ids
 from ..models import priors as priors_mod
 
 
+def source_fs_grids(vp, patch):
+    """fs0m/fs1m PSF-convolved density grids for one source, (B, P, P)."""
+    return source_densities_all_bands(
+        vp[0:2], vp[2], vp[3], vp[4], vp[5], patch)
+
+
+def brightness_coeffs(vp):
+    """The 20 scalars through which the 21 brightness free params (and
+    is_star) enter the likelihood: C = [a_i E[l_b|i], a_i E[l_b^2|i]]
+    flattened, (20,). The per-pixel moments are then LINEAR in C given the
+    density grids — the bottleneck the structured Hessian exploits
+    (ops/newton + vi/optimize)."""
+    E_l, E_ll = brightness_moments(vp)   # (5, 2)
+    a = vp[ids.is_star]                  # (2,)
+    return jnp.concatenate([(a * E_l).ravel(), (a * E_ll).ravel()])
+
+
+def moment_grids_from_fs(C, fs0m, fs1m):
+    """(E[G]_s, Var[G]_s) grids from the brightness coefficients C (20,)
+    and the density grids (B, P, P)."""
+    cl = C[:10].reshape(5, 2)
+    cll = C[10:].reshape(5, 2)
+    E_G_s = cl[:, 0, None, None] * fs0m + cl[:, 1, None, None] * fs1m
+    E_G2_s = (cll[:, 0, None, None] * fs0m ** 2
+              + cll[:, 1, None, None] * fs1m ** 2)
+    return E_G_s, E_G2_s - E_G_s ** 2
+
+
 def source_moment_grids(vp, patch):
     """E[G]_s and Var[G]_s images for one source on its patch tiles.
 
     vp: (44,). Returns (E_G_s, var_G_s), each (B, P, P). Bands are vmapped,
     not unrolled (see source_densities_all_bands).
     """
-    E_l, E_ll = brightness_moments(vp)   # (5, 2)
-    a = vp[ids.is_star]                  # (2,)
-
-    fs0m, fs1m = source_densities_all_bands(
-        vp[0:2], vp[2], vp[3], vp[4], vp[5], patch)    # (B, P, P)
-    E_G_s = (a[0] * E_l[:, 0, None, None] * fs0m
-             + a[1] * E_l[:, 1, None, None] * fs1m)
-    E_G2_s = (a[0] * E_ll[:, 0, None, None] * fs0m ** 2
-              + a[1] * E_ll[:, 1, None, None] * fs1m ** 2)
-    return E_G_s, E_G2_s - E_G_s ** 2
+    fs0m, fs1m = source_fs_grids(vp, patch)
+    return moment_grids_from_fs(brightness_coeffs(vp), fs0m, fs1m)
 
 
-def elbo_likelihood(vp, patch, bg_E_G=None, bg_var_G=None):
-    """Expected log likelihood of one source's active pixels.
-
-    vp: (44,) canonical params of the active source.
-    patch: per-source SkyPatch with (B, P, P) tiles.
-    bg_E_G, bg_var_G: optional (B, P, P) brightness of fixed neighbor
-        sources (values only — pass through jax.lax.stop_gradient upstream).
-    """
-    E_G_s, var_G_s = source_moment_grids(vp, patch)
-
+def pixel_log_likelihood(E_G_s, var_G_s, patch, bg_E_G=None, bg_var_G=None):
+    """Masked Poisson-lower-bound log likelihood over the patch tiles, given
+    the source's own moment grids (elbo_objective.jl:274-392)."""
     E_G = patch.sky + E_G_s
     var_G = var_G_s
     if bg_E_G is not None:
@@ -72,6 +85,18 @@ def elbo_likelihood(vp, patch, bg_E_G=None, bg_var_G=None):
     log_term = jnp.log(E_G) - var_G / (2.0 * E_G ** 2)
     pix_elbo = x * (jnp.log(iota) + log_term) - iota * E_G - gammaln(x + 1.0)
     return jnp.sum(jnp.where(mask, pix_elbo, 0.0))
+
+
+def elbo_likelihood(vp, patch, bg_E_G=None, bg_var_G=None):
+    """Expected log likelihood of one source's active pixels.
+
+    vp: (44,) canonical params of the active source.
+    patch: per-source SkyPatch with (B, P, P) tiles.
+    bg_E_G, bg_var_G: optional (B, P, P) brightness of fixed neighbor
+        sources (values only — pass through jax.lax.stop_gradient upstream).
+    """
+    E_G_s, var_G_s = source_moment_grids(vp, patch)
+    return pixel_log_likelihood(E_G_s, var_G_s, patch, bg_E_G, bg_var_G)
 
 
 # ---------------------------------------------------------------------------
