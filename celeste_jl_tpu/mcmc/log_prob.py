@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.special import gammaln, logsumexp
 
-from ..models.fsm import galaxy_density_grid, star_density_grid
+from ..models.fsm import (galaxy_density_grid, linear_world_to_pix,
+                          star_density_grid)
 from ..vi.elbo import PRIOR, PriorConstants
 
 LN2PI = float(np.log(2.0 * np.pi))
@@ -105,16 +106,79 @@ def _render(tgt: SourceTarget, pos_world, fluxes, shape=None):
                               tgt.pixel_center, tgt.offset, fluxes)
 
 
+def _pack_source_comps(tgt: SourceTarget, pos_world, shape=None):
+    """Per-band packed mixture rows for the fused kernel: (B, C, 6).
+    C = psf_K for a star, psf_K * 14 for a galaxy (PSF x profile GMM,
+    fsm_util.jl:111-169 semantics)."""
+    from ..models.bvn import get_bvn_cov
+    from ..models.params import GAL_ETA, GAL_IS_DEV, GAL_NU
+    from ..models.psf import psf_alphas, psf_covs, psf_mus
+    from ..ops.pallas_render import pack_mixture
+
+    if shape is not None:
+        XiXi = get_bvn_cov(shape[1], shape[2], shape[3])
+        eta = jnp.asarray(GAL_ETA, XiXi.dtype)
+        nu = jnp.asarray(GAL_NU, XiXi.dtype)
+        is_dev = jnp.asarray(GAL_IS_DEV, XiXi.dtype)
+        frac = is_dev * shape[0] + (1.0 - is_dev) * (1.0 - shape[0])
+
+    def one_band(psf_b, jac_b, wc_b, pc_b):
+        m_pos = linear_world_to_pix(jac_b, wc_b, pc_b, pos_world)
+        a, mu, cv = psf_alphas(psf_b), psf_mus(psf_b), psf_covs(psf_b)
+        if shape is None:
+            return pack_mixture(mu + m_pos[None, :], cv, a)
+        K = mu.shape[0]
+        w = (a[:, None] * (eta * frac)[None, :]).reshape(-1)
+        covs = (cv[:, None] + nu[None, :, None, None] * XiXi[None, None]
+                ).reshape(-1, 2, 2)
+        means = jnp.broadcast_to((mu + m_pos[None, :])[:, None, :],
+                                 (K, eta.shape[0], 2)).reshape(-1, 2)
+        return pack_mixture(means, covs, w)
+
+    return jax.vmap(one_band)(tgt.psf, tgt.wcs_jacobian, tgt.world_center,
+                              tgt.pixel_center)
+
+
+def _fused_loglike(tgt: SourceTarget, pos_world, fluxes, shape=None):
+    """Fused mixture render + Poisson score via the Pallas kernel on TPU
+    (ops/pallas_render); numerically equivalent XLA path elsewhere."""
+    from ..ops.pallas_render import mixture_poisson_ll
+
+    comps = _pack_source_comps(tgt, pos_world, shape)
+    zeros = jnp.zeros_like(fluxes)
+    # pixel_coord_grids is 1-based: kernel row/col indices are 0-based
+    meta = jnp.stack([tgt.offset[:, 0] + 1.0, tgt.offset[:, 1] + 1.0,
+                      fluxes, zeros], axis=-1)
+    maskf = tgt.mask.astype(tgt.pixels.dtype)
+    x = jnp.where(tgt.mask, tgt.pixels, 0.0)
+    bg = jnp.broadcast_to(tgt.bg_nmgy, tgt.pixels.shape)
+    ll = mixture_poisson_ll(x, maskf, tgt.iota, bg, comps, meta)
+    lgam = jnp.sum(jnp.where(tgt.mask, gammaln(x + 1.0), 0.0))
+    return jnp.sum(ll) - lgam
+
+
+def _use_fused():
+    import os
+    flag = os.environ.get("CELESTE_FUSED_MCMC", "auto")
+    if flag == "auto":
+        return jax.default_backend() == "tpu"
+    return flag not in ("", "0", "false")
+
+
 def star_loglike(th, tgt: SourceTarget):
     """(mcmc_functions.jl:109-185 semantics on a patch tile)."""
     fluxes = jnp.exp(jnp.minimum(th[:5], 80.0))
     pos = uniform_to_world(th[5:7], tgt)
+    if _use_fused():
+        return _fused_loglike(tgt, pos, fluxes)
     return _poisson_ll(tgt, _render(tgt, pos, fluxes))
 
 
 def gal_loglike(th, tgt: SourceTarget):
     fluxes = jnp.exp(jnp.minimum(th[:5], 80.0))
     pos = uniform_to_world(th[5:7], tgt)
+    if _use_fused():
+        return _fused_loglike(tgt, pos, fluxes, shape=th[7:11])
     return _poisson_ll(tgt, _render(tgt, pos, fluxes, shape=th[7:11]))
 
 

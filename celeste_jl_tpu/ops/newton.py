@@ -41,6 +41,9 @@ class NewtonConfig(NamedTuple):
     xtol_abs: float = 1e-7
     ftol_rel: float = 1e-6
     gtol_abs: float = 1e-8
+    # hess_every=6 is the measured knee: 12+ is ~1.7x faster on the bench
+    # but starts landing in wrong basins on multimodal overlapping-source
+    # fits (tests/test_infer.py); 6 tracks exact-Newton trajectories.
     bisect_iters: int = 48
     hess_every: int = 6
 
