@@ -168,6 +168,28 @@ class InferenceState:
         self.converged = np.zeros(S, dtype=bool)
         self.iters = np.zeros(S, dtype=np.int64)
 
+    # -- mid-box checkpointing (finer than the reference's box-level
+    #    resume, main.jl:50-56): the mutable fit state round-trips through
+    #    one npz; catalog/patches are rebuilt deterministically.
+
+    def save(self, path, cursor=0):
+        import os
+        tmp = f"{path}.tmp.npz"  # np.savez appends .npz unless present
+        np.savez(tmp, vps=self.vps, elbos=self.elbos,
+                 converged=self.converged, iters=self.iters,
+                 cursor=np.int64(cursor))
+        os.replace(tmp, path)
+
+    def restore(self, path):
+        """Load fit state; returns the stored cursor (resume position)."""
+        d = np.load(path)
+        assert d["vps"].shape == self.vps.shape, "catalog mismatch"
+        self.vps = d["vps"]
+        self.elbos = d["elbos"]
+        self.converged = d["converged"]
+        self.iters = d["iters"]
+        return int(d["cursor"])
+
     def fit_group(self, idx, newton_config: NewtonConfig, use_bg=True,
                   bg_vps=None):
         """One batched launch over sources `idx` (same tile size), padded to
@@ -229,10 +251,16 @@ def _waves(components):
 def one_node_joint_infer(catalog, images, target_sources=None,
                          config=Config(), batch_size=60,
                          newton_config=NewtonConfig(), max_neighbors=8,
-                         seed=42, state=None):
+                         seed=42, state=None, checkpoint_path=None):
     """Joint VI over all targets: num_joint_vi_iters outer iterations over
     Cyclades batches; each batch's waves run as batched launches with
-    neighbors as freshest-vp background (ParallelRun.jl:135-196)."""
+    neighbors as freshest-vp background (ParallelRun.jl:135-196).
+
+    checkpoint_path: optional npz path saved after every Cyclades batch; if
+    it exists, inference resumes from the stored (iteration, batch) cursor
+    — mid-box elasticity the reference delegates to whole-box re-runs."""
+    import os
+
     st = state or InferenceState(catalog, images, config, target_sources,
                                  max_neighbors)
     targets = st.targets
@@ -242,15 +270,26 @@ def one_node_joint_infer(catalog, images, target_sources=None,
         targets, nb_for_targets, batch_size=batch_size,
         rng=np.random.default_rng(seed))
 
+    cursor = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        cursor = st.restore(checkpoint_path)
+        Log.info(f"joint infer: resuming at step {cursor}")
+
     Log.info(f"joint infer: {len(targets)} sources, "
              f"{len(batches)} Cyclades batches")
     telemetry.counters.reset()
+    step = 0
     for it in range(config.num_joint_vi_iters):
         for comps in batches:
+            step += 1
+            if step <= cursor:
+                continue
             for wave in _waves(comps):
                 for P in TILE_BUCKETS:
                     group = [s for s in wave if st.tile[s] == P]
                     st.fit_group(group, newton_config, use_bg=True)
+            if checkpoint_path:
+                st.save(checkpoint_path, cursor=step)
     telemetry.counters.report("joint infer")
     return _collect_results(st)
 
