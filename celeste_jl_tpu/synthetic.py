@@ -170,15 +170,17 @@ def synthetic_patch_batch(n_sources, tile=32, radius=None, sky_nmgy=0.1,
     from .models.fsm import galaxy_density_grid, star_density_grid
 
     def render_one(pos_s, shape_s, fluxes_s, is_star_s, psf_s):
-        def one_band(b):
-            args = (psf_s[b], jnp.eye(2, dtype=psf_s.dtype), pos_s, pos_s,
+        # bands vmapped, not unrolled: 5x smaller jaxpr, much faster XLA
+        # compile (matters on cold caches — fsm.source_densities_all_bands
+        # applies the same trick)
+        def one_band(psf_b, flux_b):
+            args = (psf_b, jnp.eye(2, dtype=psf_b.dtype), pos_s, pos_s,
                     jnp.zeros(2, dtype=jnp.int32), tile)
             fs0 = star_density_grid(pos_s, *args)
             fs1 = galaxy_density_grid(pos_s, shape_s[0], shape_s[1],
                                       shape_s[2], shape_s[3], *args)
-            dens = jnp.where(is_star_s, fs0, fs1)
-            return fluxes_s[b] * dens
-        return jnp.stack([one_band(b) for b in range(B)])
+            return flux_b * jnp.where(is_star_s, fs0, fs1)
+        return jax.vmap(one_band)(psf_s, fluxes_s)
 
     shapes = np.stack([frac_dev, axis_ratio, angle, radius_px],
                       axis=1).astype(dtype)
