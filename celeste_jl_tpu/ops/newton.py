@@ -41,9 +41,10 @@ class NewtonConfig(NamedTuple):
     xtol_abs: float = 1e-7
     ftol_rel: float = 1e-6
     gtol_abs: float = 1e-8
-    # hess_every=6 is the measured knee: 12+ is ~1.7x faster on the bench
-    # but starts landing in wrong basins on multimodal overlapping-source
-    # fits (tests/test_infer.py); 6 tracks exact-Newton trajectories.
+    # hess_every=6 is the measured knee: 8+ is ~12% faster on the bench but
+    # already flips star/galaxy classifications on multimodal
+    # overlapping-source fits (tests/test_infer.py, p_star 0.995 -> 0.005
+    # at he=8); 6 tracks exact-Newton trajectories.
     bisect_iters: int = 48
     hess_every: int = 6
     # TR subproblem solver: "eig" = nearly-exact Moré-Sorensen in the

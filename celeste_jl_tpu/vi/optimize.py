@@ -13,7 +13,11 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
+from ..models import mixture_derivs as md
 from ..models.params import ids
+from ..models.patches import pixel_coord_grids
 from ..ops import bijectors
 from ..ops.newton import NewtonConfig, minimize_newton_tr
 from .elbo import (brightness_coeffs, moment_grids_from_fs,
@@ -43,9 +47,169 @@ def _make_bounds(pos, loc_width=1e-4, loc_scale=1.0):
     return bijectors.BoxBounds(lower, upper, static.scale)
 
 
+def _band_lik_terms(theta6, clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b,
+                    pixels_b, mask_b, sky_b, iota_b, bg_E_b, bg_var_b, P):
+    """One band's analytic likelihood derivative blocks in (theta6, Cb)
+    space, Cb = (cl0, cl1, cll0, cll1) the band's brightness coefficients.
+
+    Per pixel the likelihood is phi(E, V) with E = sky + bg + s1,
+    V = bg_var + s2 - s1^2, s1 = cl.f, s2 = cll.f^2 linear in Cb given the
+    densities f = (fs0, fs1) — so every Hessian block is a weighted pixel
+    contraction of (f, J) fields with closed-form phi derivatives
+    (elbo_objective.jl:274-392 semantics, derivatives reorganized for MXU).
+
+    Returns (lik, g_theta (6,), g_C (4,), H_tt (6,6), H_tC (6,4),
+    H_CC (4,4)).
+    """
+    dtype = pixels_b.dtype
+    x1g, x2g = pixel_coord_grids(off_b, P, dtype=dtype)
+    x1 = x1g.reshape(-1)
+    x2 = x2g.reshape(-1)
+    msk = mask_b.reshape(-1).astype(dtype)
+    x = jnp.where(msk > 0, pixels_b.reshape(-1), 0.0)
+    iota = jnp.where(msk > 0, iota_b.reshape(-1), 1.0)
+    a0 = sky_b.reshape(-1) + bg_E_b.reshape(-1)
+    b0 = bg_var_b.reshape(-1)
+
+    sm = md.star_mixture(theta6, psf_b, jac_b, wc_b, pc_b)
+    gm = md.galaxy_mixture(theta6, psf_b, jac_b, wc_b, pc_b)
+
+    fs0 = md.mixture_values(x1, x2, *sm)
+    fs1 = md.mixture_values(x1, x2, *gm)
+
+    cl0, cl1 = clb[0], clb[1]
+    cll0, cll1 = cllb[0], cllb[1]
+    s1 = cl0 * fs0 + cl1 * fs1
+    s2 = cll0 * fs0 ** 2 + cll1 * fs1 ** 2
+    E = jnp.where(msk > 0, a0 + s1, 1.0)
+    V = jnp.where(msk > 0, b0 + s2 - s1 ** 2, 0.0)
+
+    from jax.scipy.special import gammaln
+    phi = (x * (jnp.log(iota) + jnp.log(E) - V / (2.0 * E ** 2))
+           - iota * E - gammaln(x + 1.0))
+    lik = jnp.sum(msk * phi)
+
+    E2 = E * E
+    E3 = E2 * E
+    phi_E = x / E + x * V / E3 - iota
+    phi_V = -x / (2.0 * E2)
+    phi_EE = -x / E2 - 3.0 * x * V / (E2 * E2)
+    phi_EV = x / E3
+
+    g1 = msk * (phi_E - 2.0 * s1 * phi_V)
+    g2 = msk * phi_V
+    h11 = msk * (phi_EE - 4.0 * s1 * phi_EV) - 2.0 * g2
+    h12 = msk * phi_EV
+
+    u0 = 2.0 * cll0 * fs0
+    u1 = 2.0 * cll1 * fs1
+    W0 = g1 * cl0 + g2 * u0
+    W1 = g1 * cl1 + g2 * u1
+
+    _, J0, Hc0 = md.mixture_value_jac_hess(x1, x2, *sm, W0)
+    _, J1, Hc1 = md.mixture_value_jac_hess(x1, x2, *gm, W1)
+
+    f00 = h11 * cl0 * cl0 + 2.0 * h12 * cl0 * u0 + 2.0 * g2 * cll0
+    f01 = h11 * cl0 * cl1 + h12 * (cl0 * u1 + u0 * cl1)
+    f11 = h11 * cl1 * cl1 + 2.0 * h12 * cl1 * u1 + 2.0 * g2 * cll1
+    H_tt = (Hc0 + Hc1
+            + jnp.einsum("in,n,jn->ij", J0, f00, J0)
+            + jnp.einsum("in,n,jn->ij", J0, f01, J1)
+            + jnp.einsum("in,n,jn->ij", J1, f01, J0)
+            + jnp.einsum("in,n,jn->ij", J1, f11, J1))
+
+    g_theta = J0 @ W0 + J1 @ W1
+    g_C = jnp.stack([jnp.sum(g1 * fs0), jnp.sum(g1 * fs1),
+                     jnp.sum(g2 * fs0 ** 2), jnp.sum(g2 * fs1 ** 2)])
+
+    # H_tC columns: d2 lik / d theta d{cl0, cl1, cll0, cll1}.
+    cols = []
+    for j, fsj in ((0, fs0), (1, fs1)):
+        A0 = h11 * fsj * cl0 + h12 * fsj * u0 + (g1 if j == 0 else 0.0)
+        A1 = h11 * fsj * cl1 + h12 * fsj * u1 + (g1 if j == 1 else 0.0)
+        cols.append(J0 @ A0 + J1 @ A1)
+    for j, fsj in ((0, fs0), (1, fs1)):
+        A0 = h12 * fsj ** 2 * cl0 + (2.0 * g2 * fs0 if j == 0 else 0.0)
+        A1 = h12 * fsj ** 2 * cl1 + (2.0 * g2 * fs1 if j == 1 else 0.0)
+        cols.append(J0 @ A0 + J1 @ A1)
+    H_tC = jnp.stack(cols, axis=1)                    # (6, 4)
+
+    hcl = jnp.stack([jnp.stack([jnp.sum(h11 * fs0 * fs0),
+                                jnp.sum(h11 * fs0 * fs1)]),
+                     jnp.stack([jnp.sum(h11 * fs0 * fs1),
+                                jnp.sum(h11 * fs1 * fs1)])])
+    hx = jnp.stack([jnp.stack([jnp.sum(h12 * fs0 * fs0 ** 2),
+                               jnp.sum(h12 * fs0 * fs1 ** 2)]),
+                    jnp.stack([jnp.sum(h12 * fs1 * fs0 ** 2),
+                               jnp.sum(h12 * fs1 * fs1 ** 2)])])
+    H_CC = jnp.block([[hcl, hx], [hx.T, jnp.zeros((2, 2), dtype)]])
+    return lik, g_theta, g_C, H_tt, H_tC, H_CC
+
+
+# C20 column indices per band: (cl0, cl1, cll0, cll1) -> flat C layout.
+_C_COLS = np.array([[2 * b, 2 * b + 1, 10 + 2 * b, 10 + 2 * b + 1]
+                    for b in range(5)])
+
+# Constant permutation [theta6, band-major (cl0,cl1,cll0,cll1) blocks] ->
+# [theta6, C20 layout]; applied as a matmul so the assembly has no scatters.
+_PERM26 = np.zeros((26, 26), np.float64)
+for _t in range(6):
+    _PERM26[_t, _t] = 1.0
+for _b in range(5):
+    for _j, _c in enumerate(_C_COLS[_b]):
+        _PERM26[6 + _c, 6 + 4 * _b + _j] = 1.0
+
+
+def _analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G):
+    """Exact likelihood Hessian wrt the free parameters, via analytic
+    per-band blocks in (theta6, C20) space chained through the (pixel-free)
+    free -> (theta, C) map with AD. ~20x cheaper than AD through the render
+    (models/mixture_derivs.py)."""
+    dtype = free.dtype
+    vp = bijectors.to_bound(free, bounds)
+    theta6 = vp[0:6]
+    C20 = brightness_coeffs(vp)
+    cl = C20[:10].reshape(5, 2)
+    cll = C20[10:].reshape(5, 2)
+    P = tuple(patch.pixels.shape[-2:])
+
+    bg_E = bg_E_G if bg_E_G is not None else jnp.zeros_like(patch.sky)
+    bg_V = bg_var_G if bg_var_G is not None else jnp.zeros_like(patch.sky)
+
+    out = jax.vmap(
+        lambda clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b, px, mk, sk, io,
+        bE, bV: _band_lik_terms(
+            theta6, clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b,
+            px, mk, sk, io, bE, bV, P)
+    )(cl, cll, patch.psf, patch.wcs_jacobian, patch.world_center,
+      patch.pixel_center, patch.offset, patch.pixels, patch.mask,
+      patch.sky, patch.iota, bg_E, bg_V)
+    lik_b, g_t_b, g_C_b, H_tt_b, H_tC_b, H_CC_b = out
+
+    # Band-ordered assembly (theta, then 4 coefficients per band), then one
+    # constant-permutation matmul into the C20 layout — no scatters.
+    g_ord = jnp.concatenate([jnp.sum(g_t_b, axis=0), g_C_b.reshape(-1)])
+    H_tC_ord = jnp.concatenate(list(H_tC_b), axis=1)            # (6, 20)
+    HCC_ord = jax.scipy.linalg.block_diag(*H_CC_b)              # (20, 20)
+    H_ord = jnp.block([[jnp.sum(H_tt_b, axis=0), H_tC_ord],
+                       [H_tC_ord.T, HCC_ord]])
+    perm = jnp.asarray(_PERM26, dtype)
+    g26 = perm @ g_ord
+    H26 = perm @ H_ord @ perm.T
+
+    def h26(fr):
+        v = bijectors.to_bound(fr, bounds)
+        return jnp.concatenate([v[0:6], brightness_coeffs(v)])
+
+    J_h = jax.jacfwd(h26)(free)                        # (26, 41)
+    T_h = jax.jacfwd(jax.jacfwd(h26))(free)            # (26, 41, 41)
+    H_free = J_h.T @ (H26 @ J_h) + jnp.einsum("a,aij->ij", g26, T_h)
+    return H_free
+
+
 def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
              config: NewtonConfig = NewtonConfig(), loc_width=1e-4,
-             loc_scale=1.0, pixel_axis=None):
+             loc_scale=1.0, pixel_axis=None, hessian_mode="analytic"):
     """Fit one source. vp0: (44,). Returns FitResult.
 
     bg_E_G / bg_var_G: fixed neighbor brightness images (B, P, P); gradients
@@ -56,6 +220,12 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
     ELBO is a sum over pixels, so pixel-sharding + psum of the likelihood is
     exact, SURVEY.md §5), the local likelihood is psum'ed over this axis and
     each shard runs the identical Newton iteration.
+
+    hessian_mode: "analytic" (closed-form likelihood Hessian via batched
+    pixel-moment matmuls, models/mixture_derivs.py — the fast path) or
+    "structured" (AD through the render with the 6+20 bottleneck split;
+    retained as the independently-derived cross-check, and exercised
+    against "analytic" in tests/test_structured_hessian.py).
     """
     if bg_E_G is not None:
         bg_E_G = jax.lax.stop_gradient(bg_E_G)
@@ -95,6 +265,17 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
             # across shards under shard_map(check_vma=False).
             f, g = jax.lax.psum((f, g), pixel_axis)
         return f, g
+
+    def fgh_analytic(free):
+        """f, g by the same AD path as fg (keeps the trust-region rho
+        comparisons bit-consistent between evaluators); H analytic."""
+        f, g = jax.value_and_grad(neg_elbo)(free)
+        H = -_analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G)
+        if include_kl:
+            H = H - jax.hessian(kl_of)(free)
+        if pixel_axis is not None:
+            f, g, H = jax.lax.psum((f, g, H), pixel_axis)
+        return f, g, H
 
     def fgh(free):
         """Structured ELBO Hessian.
@@ -145,18 +326,22 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
             f, g, H = jax.lax.psum((f, g, H), pixel_axis)
         return f, g, H
 
-    state = minimize_newton_tr(fgh, free0, config, fg=fg)
+    state = minimize_newton_tr(
+        fgh_analytic if hessian_mode == "analytic" else fgh,
+        free0, config, fg=fg)
     vp_opt = bijectors.to_bound(state.x, bounds)
     return FitResult(vp=vp_opt, elbo=-state.f, iters=state.iters,
                      f_calls=state.f_calls, converged=state.converged)
 
 
-@partial(jax.jit, static_argnames=("include_kl", "config"))
+@partial(jax.jit, static_argnames=("include_kl", "config", "hessian_mode"))
 def fit_sources(vp0s, patches, bg_E_G=None, bg_var_G=None, include_kl=True,
-                config: NewtonConfig = NewtonConfig()):
+                config: NewtonConfig = NewtonConfig(),
+                hessian_mode="analytic"):
     """Batched fits: vp0s (S, 44), patches SkyPatch with leading S axis,
     optional bg images (S, B, P, P). Returns FitResult with leading S axis."""
-    fit = partial(maximize, include_kl=include_kl, config=config)
+    fit = partial(maximize, include_kl=include_kl, config=config,
+                  hessian_mode=hessian_mode)
     if bg_E_G is None:
         return jax.vmap(lambda v, p: fit(v, p))(vp0s, patches)
     return jax.vmap(fit)(vp0s, patches, bg_E_G, bg_var_G)

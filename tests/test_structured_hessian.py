@@ -1,6 +1,8 @@
-"""The structured ELBO Hessian (vi/optimize.fgh: shape rows through the
-render + brightness block through the 20-dim coefficient bottleneck + KL on
-the side) must equal the generic jax.hessian to f64 roundoff."""
+"""The fast ELBO Hessians must equal the generic jax.hessian to f64
+roundoff: both the analytic mode (closed-form Gaussian-derivative pixel
+moments, models/mixture_derivs.py) and the structured AD mode (shape rows
+through the render + brightness block through the 20-dim coefficient
+bottleneck)."""
 
 import jax
 import jax.numpy as jnp
@@ -24,8 +26,8 @@ def _setup(ce, seed=11):
     return jax.tree.map(lambda x: x[0], stack_patches([patch]))
 
 
-def _fgh_pair(vp0, patch, include_kl=True):
-    """(structured fgh, generic fgh) closures at the same bounds."""
+def _fgh_pair(vp0, patch, include_kl=True, hessian_mode="analytic"):
+    """(fast fgh, generic fgh) closures at the same bounds."""
     from celeste_jl_tpu.ops.newton import NewtonConfig
     from celeste_jl_tpu.vi import optimize
 
@@ -40,7 +42,8 @@ def _fgh_pair(vp0, patch, include_kl=True):
 
     optimize.minimize_newton_tr = capture
     try:
-        optimize.maximize(vp0, patch, include_kl=include_kl)
+        optimize.maximize(vp0, patch, include_kl=include_kl,
+                          hessian_mode=hessian_mode)
     finally:
         optimize.minimize_newton_tr = orig
 
@@ -60,19 +63,20 @@ def _fgh_pair(vp0, patch, include_kl=True):
     return captured["fgh"], generic_fgh, captured["x0"]
 
 
+@pytest.mark.parametrize("mode", ["analytic", "structured"])
 @pytest.mark.parametrize("make_ce,include_kl", [
     (lambda: sample_star(pos=(20.0, 20.0), r_flux=40.0), True),
     (lambda: sample_galaxy(pos=(20.0, 19.0), r_flux=25.0,
                            gal_radius_px=2.5), True),
     (lambda: sample_star(pos=(20.0, 20.0), r_flux=40.0), False),
 ])
-def test_structured_hessian_matches_generic(make_ce, include_kl):
+def test_fast_hessian_matches_generic(make_ce, include_kl, mode):
     ce = make_ce()
     patch = _setup(ce)
     rng = np.random.default_rng(0)
     for init in (catalog_init_source(ce), generic_init_source(ce.pos)):
         vp0 = jnp.asarray(init)
-        fgh_s, fgh_g, free0 = _fgh_pair(vp0, patch, include_kl)
+        fgh_s, fgh_g, free0 = _fgh_pair(vp0, patch, include_kl, mode)
         for trial in range(3):
             x = free0 + jnp.asarray(rng.normal(0, 0.3, free0.shape))
             f1, g1, H1 = jax.jit(fgh_s)(x)
