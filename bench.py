@@ -36,8 +36,10 @@ def main():
     vp0s = jax.device_put(np.asarray(vp0s, dtype=np.float32))
     patches = jax.tree.map(lambda x: jax.device_put(x), patches)
 
+    t0 = time.perf_counter()
     res = fit_sources(vp0s, patches)  # compile + warm up
     jax.block_until_ready(res.vp)
+    compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(REPEATS):
@@ -59,6 +61,7 @@ def main():
         "finite_elbo_frac": finite,
         "mean_newton_iters": float(np.mean(np.asarray(res.iters))),
         "backend": jax.default_backend(),
+        "compile_plus_first_run_s": round(compile_s, 1),
     }
     print(json.dumps(out))
 

@@ -61,3 +61,43 @@ def test_fit_improves_elbo():
     e0 = float(elbo(vp0, patch))
     res = maximize(vp0, patch)
     assert float(res.elbo) > e0
+
+
+def test_fit_star_with_steihaug_cg_solver():
+    """The matvec-only Steihaug-CG trust-region option (NewtonConfig
+    tr_solver="cg") converges and recovers the flux. It does NOT reliably
+    recover the star/galaxy type — truncated CG stops at the boundary on the
+    first negative-curvature direction instead of following it out of the
+    basin like the exact eigenbasis solver, which is exactly why "eig" is
+    the default (ops/newton.py NewtonConfig.tr_solver)."""
+    from celeste_jl_tpu.ops.newton import NewtonConfig
+
+    ce = sample_star(pos=(20.0, 20.0), r_flux=40.0)
+    images = make_blank_images(H=40, W=40)
+    gen_images(images, [ce], seed=3)
+    patch = make_patch_for_source(images, ce.pos, radius=12, tile_size=32)
+    vp0 = jnp.asarray(generic_init_source(ce.pos))
+    res = fit_sources(vp0[None], stack_patches([patch]),
+                      config=NewtonConfig(tr_solver="cg"))
+    vp = np.asarray(res.vp[0])
+    assert np.all(np.isfinite(vp))
+    star = vp[ids.is_star[0]] > 0.5
+    j = 0 if star else 1
+    flux = np.exp(vp[ids.flux_loc[j]] + 0.5 * vp[ids.flux_scale[j]])
+    assert abs(flux - 40.0) / 40.0 < 0.15, flux
+
+
+def test_structured_hessian_mode_fits_match_analytic():
+    """hessian_mode="structured" (the AD cross-check path) and the default
+    analytic path must land on the same optimum."""
+    ce = sample_galaxy(pos=(20.0, 20.0), r_flux=60.0, gal_radius_px=2.0)
+    images = make_blank_images(H=40, W=40)
+    gen_images(images, [ce], seed=7)
+    patch = make_patch_for_source(images, ce.pos, radius=12, tile_size=32)
+    vp0 = jnp.asarray(generic_init_source(ce.pos))
+    pstack = stack_patches([patch])
+    res_a = fit_sources(vp0[None], pstack, hessian_mode="analytic")
+    res_s = fit_sources(vp0[None], pstack, hessian_mode="structured")
+    assert abs(float(res_a.elbo[0]) - float(res_s.elbo[0])) < 1.0
+    np.testing.assert_allclose(np.asarray(res_a.vp[0]),
+                               np.asarray(res_s.vp[0]), atol=2e-3)
