@@ -30,7 +30,7 @@ def main():
     import jax
 
     from __graft_entry__ import _synthetic_batch
-    from celeste_jl_tpu.vi.optimize import fit_sources
+    from celeste_jl_tpu.vi.optimize import fit_sources_compacted as fit_sources
 
     vp0s, patches = _synthetic_batch(n_sources=S, tile=32, seed=1)
     vp0s = jax.device_put(np.asarray(vp0s, dtype=np.float32))

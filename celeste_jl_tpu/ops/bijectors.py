@@ -94,7 +94,18 @@ def to_free(vp, bounds: BoxBounds):
     return jnp.concatenate([box, is_star, k0, k1])
 
 
-def _enforce_simplex(bound, floor, eps=1e-12):
+def _margin(vp, eps):
+    """Projection margin that survives `lower + eps * width` rounding in
+    vp's dtype. 1e-10 is fine in f64 but rounds away in f32, and a
+    bound-saturated vp (an OPTIMIZED vp re-fed as a warm start — joint-VI
+    iterations, staged compaction — often sits exactly on a bound, e.g.
+    is_star at its 0.005 floor) then maps to ±inf free params."""
+    if eps is not None:
+        return eps
+    return 1e-10 if jnp.result_type(vp) == jnp.float64 else 1e-5
+
+
+def _enforce_simplex(bound, floor, eps):
     n = bound.shape[0]
     bound = jnp.clip(bound, floor + eps, 1.0 - eps)
     total = jnp.sum(bound)
@@ -102,13 +113,15 @@ def _enforce_simplex(bound, floor, eps=1e-12):
     return floor + eps + rescale * (bound - floor)
 
 
-def enforce(vp, bounds: BoxBounds, eps=1e-10):
+def enforce(vp, bounds: BoxBounds, eps=None):
     """Project vp strictly inside the constraint set
-    (ConstraintTransforms.jl:225-291)."""
+    (ConstraintTransforms.jl:225-291). eps defaults to a dtype-aware margin
+    (see _margin)."""
+    eps = _margin(vp, eps)
     width = bounds.upper - bounds.lower
     box = jnp.clip(vp[:N_BOX], bounds.lower + eps * width,
                    bounds.upper - eps * width)
-    is_star = _enforce_simplex(vp[26:28], IS_STAR_FLOOR)
-    k0 = _enforce_simplex(vp[28:36], K_FLOOR)
-    k1 = _enforce_simplex(vp[36:44], K_FLOOR)
+    is_star = _enforce_simplex(vp[26:28], IS_STAR_FLOOR, eps)
+    k0 = _enforce_simplex(vp[28:36], K_FLOOR, eps)
+    k1 = _enforce_simplex(vp[36:44], K_FLOOR, eps)
     return jnp.concatenate([box, is_star, k0, k1])

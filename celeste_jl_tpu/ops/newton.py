@@ -185,13 +185,18 @@ def _steihaug_cg(g, H, delta, iters):
 
 def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
                        config: NewtonConfig = NewtonConfig(),
-                       fg: Optional[Callable] = None):
+                       fg: Optional[Callable] = None,
+                       delta0: Optional[jnp.ndarray] = None):
     """Minimize fgh's value with (lagged-Hessian) trust-region Newton.
 
     fgh(x) -> (f, g, H); fg(x) -> (f, g) — a cheaper evaluator used for the
     config.hess_every-1 steps between Hessian refreshes (defaults to
     discarding fgh's H). Returns final NewtonState. vmap over x0 (and any
     closure data of fgh/fg) for batched fits.
+
+    delta0: optional starting trust-region radius — pass a previous run's
+    final delta to warm-resume an interrupted fit (the staged-compaction
+    driver, vi/optimize.fit_sources_compacted).
     """
     if fg is None:
         def fg(x):
@@ -202,7 +207,8 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
     dtype = x0.dtype
     state0 = NewtonState(
         x=x0, f=f0, g=g0,
-        delta=jnp.asarray(config.initial_delta, dtype),
+        delta=(jnp.asarray(config.initial_delta, dtype) if delta0 is None
+               else jnp.asarray(delta0, dtype)),
         iters=jnp.asarray(0, jnp.int32),
         f_calls=jnp.asarray(1, jnp.int32),
         hess_calls=jnp.asarray(0, jnp.int32),

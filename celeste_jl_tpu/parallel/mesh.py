@@ -102,7 +102,8 @@ def fit_sources_sharded(vp0s, patches, mesh, include_kl=True,
         return jax.vmap(fit_one)(vp_block, patch_block)
 
     out_spec = FitResult(vp=P(SRC_AXIS), elbo=P(SRC_AXIS), iters=P(SRC_AXIS),
-                         f_calls=P(SRC_AXIS), converged=P(SRC_AXIS))
+                         f_calls=P(SRC_AXIS), converged=P(SRC_AXIS),
+                         delta=P(SRC_AXIS), free=P(SRC_AXIS))
     fn = jax.shard_map(shard_fn, mesh=mesh,
                        in_specs=(P(SRC_AXIS), _patch_specs()),
                        out_specs=out_spec, check_vma=False)

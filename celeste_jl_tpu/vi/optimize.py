@@ -36,6 +36,13 @@ class FitResult(NamedTuple):
     iters: jnp.ndarray
     f_calls: jnp.ndarray
     converged: jnp.ndarray
+    # warm-resume state for staged compaction: final trust-region radius and
+    # final FREE vector (resuming from vp would need to_free(vp), which is
+    # catastrophically ill-conditioned in f32 — the position box spans
+    # ~2e-4 at coordinates ~1e1-1e2, so (pos - lower)/width cancels to
+    # exactly 0/1 on bound-hugging lanes and to_free returns ±inf)
+    delta: jnp.ndarray
+    free: jnp.ndarray
 
 
 def _make_bounds(pos, loc_width=1e-4, loc_scale=1.0):
@@ -209,8 +216,16 @@ def _analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G):
 
 def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
              config: NewtonConfig = NewtonConfig(), loc_width=1e-4,
-             loc_scale=1.0, pixel_axis=None, hessian_mode="analytic"):
+             loc_scale=1.0, pixel_axis=None, hessian_mode="analytic",
+             delta0=None, bounds_pos=None, free0=None):
     """Fit one source. vp0: (44,). Returns FitResult.
+
+    delta0 / bounds_pos / free0: warm-resume state for staged compaction
+    (fit_sources_compacted) — the previous stage's final trust-region radius,
+    the ORIGINAL position-box center (so resuming does not re-center the
+    position bounds on the partially-optimized position), and the previous
+    stage's final free vector (bypassing the f32-hostile to_free roundtrip;
+    when free0 is given, vp0 is ignored).
 
     bg_E_G / bg_var_G: fixed neighbor brightness images (B, P, P); gradients
     are stopped through them.
@@ -232,9 +247,11 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
     if bg_var_G is not None:
         bg_var_G = jax.lax.stop_gradient(bg_var_G)
 
-    bounds = _make_bounds(vp0[ids.pos], loc_width, loc_scale)
-    vp_c = bijectors.enforce(vp0, bounds)
-    free0 = bijectors.to_free(vp_c, bounds)
+    bounds = _make_bounds(vp0[ids.pos] if bounds_pos is None else bounds_pos,
+                          loc_width, loc_scale)
+    if free0 is None:
+        vp_c = bijectors.enforce(vp0, bounds)
+        free0 = bijectors.to_free(vp_c, bounds)
 
     def lik_of(free):
         vp = bijectors.to_bound(free, bounds)
@@ -328,20 +345,105 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
 
     state = minimize_newton_tr(
         fgh_analytic if hessian_mode == "analytic" else fgh,
-        free0, config, fg=fg)
+        free0, config, fg=fg, delta0=delta0)
     vp_opt = bijectors.to_bound(state.x, bounds)
     return FitResult(vp=vp_opt, elbo=-state.f, iters=state.iters,
-                     f_calls=state.f_calls, converged=state.converged)
+                     f_calls=state.f_calls, converged=state.converged,
+                     delta=state.delta, free=state.x)
 
 
 @partial(jax.jit, static_argnames=("include_kl", "config", "hessian_mode"))
 def fit_sources(vp0s, patches, bg_E_G=None, bg_var_G=None, include_kl=True,
                 config: NewtonConfig = NewtonConfig(),
-                hessian_mode="analytic"):
+                hessian_mode="analytic", delta0=None, bounds_pos=None,
+                free0=None):
     """Batched fits: vp0s (S, 44), patches SkyPatch with leading S axis,
-    optional bg images (S, B, P, P). Returns FitResult with leading S axis."""
+    optional bg images (S, B, P, P). Returns FitResult with leading S axis.
+
+    delta0 (S,) / bounds_pos (S, 2) / free0 (S, 41): warm-resume state,
+    see maximize."""
     fit = partial(maximize, include_kl=include_kl, config=config,
                   hessian_mode=hessian_mode)
+    if delta0 is None and bounds_pos is None and free0 is None:
+        if bg_E_G is None:
+            return jax.vmap(lambda v, p: fit(v, p))(vp0s, patches)
+        return jax.vmap(fit)(vp0s, patches, bg_E_G, bg_var_G)
     if bg_E_G is None:
-        return jax.vmap(lambda v, p: fit(v, p))(vp0s, patches)
-    return jax.vmap(fit)(vp0s, patches, bg_E_G, bg_var_G)
+        return jax.vmap(lambda v, p, d, bp, fr: fit(
+            v, p, delta0=d, bounds_pos=bp, free0=fr))(
+            vp0s, patches, delta0, bounds_pos, free0)
+    return jax.vmap(lambda v, p, bE, bV, d, bp, fr: fit(
+        v, p, bE, bV, delta0=d, bounds_pos=bp, free0=fr))(
+        vp0s, patches, bg_E_G, bg_var_G, delta0, bounds_pos, free0)
+
+
+def fit_sources_compacted(vp0s, patches, bg_E_G=None, bg_var_G=None, *,
+                          include_kl=True, config: NewtonConfig = NewtonConfig(),
+                          hessian_mode="analytic", stage1_refreshes=10,
+                          min_bucket=64):
+    """Batched fits with convergence compaction (host-driven, two stages).
+
+    A vmapped while_loop runs the whole batch until its SLOWEST lane
+    converges; with the measured per-source spread (p50 ~55 vs max ~90 TR
+    steps per fit) the late refresh cycles — each costing a batched eigh +
+    full-batch renders — run mostly for already-converged lanes. So: run
+    `stage1_refreshes` Hessian-refresh cycles on the full batch, then gather
+    the unconverged lanes into a power-of-two bucket (padded by repeating
+    unconverged lanes, which finish exactly when their originals do) and
+    finish only those, warm-resuming each lane's trust-region radius and
+    keeping the ORIGINAL position-box centers. The stage-2 launch reuses the
+    same compiled program family at a smaller batch size.
+
+    Exact per-lane semantics: identical to fit_sources (the refresh boundary
+    at which stage 2 resumes is a boundary the single-call loop also hits).
+    """
+    S = vp0s.shape[0]
+    stage1 = min(stage1_refreshes, config.max_iters)
+    cfg1 = config._replace(max_iters=stage1)
+    res1 = fit_sources(vp0s, patches, bg_E_G, bg_var_G,
+                       include_kl=include_kl, config=cfg1,
+                       hessian_mode=hessian_mode)
+    conv = np.asarray(res1.converged)
+    rem = config.max_iters - stage1
+    if rem <= 0 or conv.all():
+        return res1
+
+    idx = np.nonzero(~conv)[0]
+    n = idx.size
+    bucket = max(min_bucket, 1 << int(n - 1).bit_length())
+    if bucket >= S:
+        # nothing to gain — finish the full batch in place
+        idx = np.arange(S)
+        n, bucket = S, S
+    pad = idx[np.arange(bucket - n) % n] if bucket > n else idx[:0]
+    idx_p = np.concatenate([idx, pad])
+
+    sub = lambda a: None if a is None else jax.tree.map(
+        lambda x: x[idx_p], a)
+    cfg2 = config._replace(max_iters=rem)
+    res2 = fit_sources(sub(res1.vp), sub(patches), sub(bg_E_G),
+                       sub(bg_var_G), include_kl=include_kl, config=cfg2,
+                       hessian_mode=hessian_mode,
+                       delta0=res1.delta[idx_p],
+                       bounds_pos=vp0s[idx_p][:, ids.pos],
+                       free0=res1.free[idx_p])
+
+    # On-device scatters: a host-side merge would cost one blocking
+    # device->host round trip per field, and over a tunneled TPU those RTTs
+    # erase the compaction win. The only host sync in this driver is the
+    # stage-1 convergence mask above.
+    jidx = jnp.asarray(idx)
+
+    def merge(a1, a2, accumulate=False):
+        a2 = a2[:n]
+        return a1.at[jidx].add(a2) if accumulate else a1.at[jidx].set(a2)
+
+    return FitResult(
+        vp=merge(res1.vp, res2.vp),
+        elbo=merge(res1.elbo, res2.elbo),
+        iters=merge(res1.iters, res2.iters, accumulate=True),
+        f_calls=merge(res1.f_calls, res2.f_calls, accumulate=True),
+        converged=merge(res1.converged, res2.converged),
+        delta=merge(res1.delta, res2.delta),
+        free=merge(res1.free, res2.free),
+    )

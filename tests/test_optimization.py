@@ -101,3 +101,37 @@ def test_structured_hessian_mode_fits_match_analytic():
     assert abs(float(res_a.elbo[0]) - float(res_s.elbo[0])) < 1.0
     np.testing.assert_allclose(np.asarray(res_a.vp[0]),
                                np.asarray(res_s.vp[0]), atol=2e-3)
+
+
+def test_compacted_fits_match_plain():
+    """fit_sources_compacted (stage-1 full batch + gathered stage-2 finish
+    of unconverged lanes) is per-lane equivalent to the single-call path:
+    same iteration counts, same optima to bijector-roundtrip roundoff."""
+    from celeste_jl_tpu.vi.optimize import fit_sources_compacted
+
+    entries = [sample_star(pos=(20.0, 20.0), r_flux=40.0),
+               sample_galaxy(pos=(20.0, 20.0), r_flux=60.0,
+                             gal_radius_px=2.0),
+               sample_star(pos=(19.0, 21.0), r_flux=15.0),
+               sample_galaxy(pos=(21.0, 19.0), r_flux=25.0,
+                             gal_radius_px=1.5)]
+    vps, patches = [], []
+    for i, ce in enumerate(entries):
+        images = make_blank_images(H=40, W=40)
+        gen_images(images, [ce], seed=10 + i)
+        patches.append(make_patch_for_source(images, ce.pos, radius=12,
+                                             tile_size=32))
+        vps.append(generic_init_source(ce.pos))
+    vp0s = jnp.asarray(np.stack(vps))
+    pstack = stack_patches(patches)
+
+    plain = fit_sources(vp0s, pstack)
+    comp = fit_sources_compacted(vp0s, pstack, stage1_refreshes=2,
+                                 min_bucket=2)
+    np.testing.assert_array_equal(np.asarray(plain.iters),
+                                  np.asarray(comp.iters))
+    np.testing.assert_allclose(np.asarray(plain.vp), np.asarray(comp.vp),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(plain.elbo), np.asarray(comp.elbo),
+                               rtol=1e-9)
+    assert np.asarray(comp.converged).all()
