@@ -34,7 +34,7 @@ def _fgh_pair(vp0, patch, include_kl=True, hessian_mode="analytic"):
     captured = {}
     orig = optimize.minimize_newton_tr
 
-    def capture(fgh, x0, config, fg=None):
+    def capture(fgh, x0, config, fg=None, **_resume_kwargs):
         captured["fgh"] = fgh
         captured["fg"] = fg
         captured["x0"] = x0
