@@ -23,6 +23,7 @@ import numpy as np
 
 S = int(os.environ.get("BENCH_SOURCES", "512"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+TR_SOLVER = os.environ.get("BENCH_TR_SOLVER", "")
 BASELINE_FITS_PER_SEC = 1.0
 
 
@@ -37,14 +38,18 @@ def main():
     patches = jax.tree.map(lambda x: jax.device_put(x), patches)
 
     t0 = time.perf_counter()
-    res = fit_sources(vp0s, patches)  # compile + warm up
+    kw = {}
+    if TR_SOLVER:
+        from celeste_jl_tpu.ops.newton import NewtonConfig
+        kw["config"] = NewtonConfig(tr_solver=TR_SOLVER)
+    res = fit_sources(vp0s, patches, **kw)  # compile + warm up
     jax.block_until_ready(res.vp)
     compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        res = fit_sources(vp0s, patches)
+        res = fit_sources(vp0s, patches, **kw)
         jax.block_until_ready(res.vp)
         times.append(time.perf_counter() - t0)
 

@@ -47,14 +47,26 @@ class NewtonConfig(NamedTuple):
     # at he=8); 6 tracks exact-Newton trajectories.
     bisect_iters: int = 48
     hess_every: int = 6
-    # TR subproblem solver: "eig" = nearly-exact Moré-Sorensen in the
-    # eigenbasis (default); "cg" = Steihaug truncated CG (matvecs only).
-    # A batched (S, D, D) eigh costs ~52 ms on TPU vs ~us for D matvecs,
-    # but Steihaug's boundary truncation lands measurably worse optima on
-    # these multimodal fits (median -1.5 ELBO/source), so exact stays the
-    # default; "cg" suits well-conditioned interior-dominated problems.
+    # TR subproblem solver, all nearly-exact Moré-Sorensen in an eigenbasis
+    # except "cg":
+    #   "eig"    — XLA eigh per Hessian refresh (~33 ms in-graph per
+    #              (512, 41, 41) f32 on TPU — over half of fit wall time);
+    #   "jacobi" — systolic Jacobi diagonalization warm-started from the
+    #              PREVIOUS refresh's eigenbasis (ops/jacobi.py). Measured
+    #              SLOWER than "eig" on the headline bench (326 vs 540
+    #              fits/s): during a fit the Hessian drifts enough per
+    #              trust-region cycle that 4-8 sweeps (~8 ms each) are
+    #              needed, not the 1-3 a small perturbation needs. Kept as
+    #              an option for problems with slowly-varying curvature;
+    #   "cg"     — Steihaug truncated CG (matvecs only). Boundary truncation
+    #              lands measurably worse optima on these multimodal fits
+    #              (median -1.5 ELBO/source, and it cannot follow negative
+    #              curvature out of the wrong star/galaxy basin), kept for
+    #              well-conditioned interior-dominated problems.
     tr_solver: str = "eig"
     cg_iters: int = 41
+    jacobi_tol: float = 1e-6
+    jacobi_max_sweeps: int = 12
 
 
 class NewtonState(NamedTuple):
@@ -70,9 +82,11 @@ class NewtonState(NamedTuple):
 
 def _solve_tr_eig(gq, w, delta, bisect_iters=48):
     """TR subproblem in the eigenbasis: argmin gq.p + 0.5 p'diag(w)p,
-    ||p|| <= delta. Returns (p_eig, predicted_reduction >= 0)."""
+    ||p|| <= delta. w need not be sorted (the Jacobi path's is not).
+    Returns (p_eig, predicted_reduction >= 0)."""
     D = gq.shape[0]
-    lam_min = w[0]
+    bottom = jnp.argmin(w)
+    lam_min = w[bottom]
     eps = jnp.asarray(1e-12, gq.dtype)
 
     def pnorm(lam):
@@ -108,7 +122,7 @@ def _solve_tr_eig(gq, w, delta, bisect_iters=48):
     bnorm = jnp.linalg.norm(p_boundary)
     tau = jnp.sqrt(jnp.maximum(delta ** 2 - bnorm ** 2, 0.0))
     hard = (bnorm < 0.9 * delta) & (lam_min < eps)
-    e0 = jnp.zeros(D, gq.dtype).at[0].set(1.0)  # bottom eigvec in eig basis
+    e0 = jax.nn.one_hot(bottom, D, dtype=gq.dtype)  # bottom eigvec, eig basis
     p = jnp.where(interior, p_newton,
                   jnp.where(hard, p_boundary + tau * e0, p_boundary))
     pred = -(gq @ p + 0.5 * p @ (w * p))
@@ -217,15 +231,18 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
 
     def tr_step(st: NewtonState, curv):
         """One TR step with the (possibly stale) Hessian curvature object
-        curv — (w, Q) eigendecomposition for the "eig" solver, H itself for
-        "cg" — and the fresh gradient in st. No-op on converged lanes."""
+        curv — (w, Q) eigendecomposition for the "eig"/"jacobi" solvers
+        (Q possibly padded one dim past D), H itself for "cg" — and the
+        fresh gradient in st. No-op on converged lanes."""
         if config.tr_solver == "cg":
             p, pred = _steihaug_cg(st.g, curv, st.delta, config.cg_iters)
         else:
             w, Q = curv
-            p_eig, pred = _solve_tr_eig(Q.T @ st.g, w, st.delta,
+            D = st.g.shape[0]
+            g = st.g if Q.shape[0] == D else jnp.pad(st.g, (0, Q.shape[0] - D))
+            p_eig, pred = _solve_tr_eig(Q.T @ g, w, st.delta,
                                         config.bisect_iters)
-            p = Q @ p_eig
+            p = (Q @ p_eig)[:D]
         x_new = st.x + p
         f_new, g_new = fg(x_new)
 
@@ -262,17 +279,42 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
             f_calls=st.f_calls + jnp.where(st.converged, 0, 1),
             hess_calls=st.hess_calls, converged=converged)
 
-    def cycle(st: NewtonState):
-        """Refresh the exact Hessian at st.x, then hess_every TR steps
-        reusing it with fresh gradients."""
-        f, g, H = fgh(st.x)
-        curv = H if config.tr_solver == "cg" else jnp.linalg.eigh(H)
-        st = st._replace(f=f, g=g, hess_calls=st.hess_calls + 1)
+    def steps(st, curv):
         st, _ = jax.lax.scan(lambda s, _: (tr_step(s, curv), None), st,
                              None, length=max(config.hess_every, 1))
         return st
 
     def cond(st: NewtonState):
         return (~st.converged) & (st.hess_calls < config.max_iters)
+
+    if config.tr_solver == "jacobi":
+        from .jacobi import jacobi_eigh, pad_to_even
+
+        Dp = x0.shape[0] + (x0.shape[0] % 2)
+        Q0 = jnp.eye(Dp, dtype=dtype)
+
+        def cycle_j(carry):
+            """Same refresh-then-steps cycle, but the eigendecomposition is
+            a warm-started Jacobi diagonalization in the previous refresh's
+            basis (carried across cycles) instead of a fresh XLA eigh."""
+            st, Q = carry
+            f, g, H = fgh(st.x)
+            Hp, _ = pad_to_even(H)
+            w, Q, _ = jacobi_eigh(Hp, Q, tol=config.jacobi_tol,
+                                  max_sweeps=config.jacobi_max_sweeps)
+            st = st._replace(f=f, g=g, hess_calls=st.hess_calls + 1)
+            return steps(st, (w, Q)), Q
+
+        st, _ = jax.lax.while_loop(lambda c: cond(c[0]), cycle_j,
+                                   (state0, Q0))
+        return st
+
+    def cycle(st: NewtonState):
+        """Refresh the exact Hessian at st.x, then hess_every TR steps
+        reusing it with fresh gradients."""
+        f, g, H = fgh(st.x)
+        curv = H if config.tr_solver == "cg" else jnp.linalg.eigh(H)
+        st = st._replace(f=f, g=g, hess_calls=st.hess_calls + 1)
+        return steps(st, curv)
 
     return jax.lax.while_loop(cond, cycle, state0)

@@ -14,6 +14,7 @@ elbo_objective.jl:33-41).
 
 import math
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +30,7 @@ from ..utils import telemetry
 from ..utils.config import Config
 from ..vi.elbo import source_moment_grids
 from ..vi.init import catalog_init_source, generic_init_source
-from ..vi.optimize import fit_sources
+from ..vi.optimize import fit_sources, fit_sources_compacted
 from .partition import partition_cyclades_dynamic
 
 TILE_BUCKETS = (16, 32, 64, 128)
@@ -202,6 +203,12 @@ class InferenceState:
         idx_p = list(idx) + [idx[0]] * (pad - n)
         patches = stack_patches([self.patches[s] for s in idx_p])
         vp0 = jnp.asarray(self.vps[idx_p])
+        # Large waves get the staged-compaction driver (per-lane exact, see
+        # vi/optimize.fit_sources_compacted) — the all-lane-converged tail
+        # costs most when the batch is wide. Small waves stay single-launch
+        # (the extra stage-boundary sync outweighs the tail).
+        fit = fit_sources if pad < 256 else partial(
+            fit_sources_compacted, stage1_refreshes=10)
         try:
             with telemetry.launch_timer():
                 if use_bg:
@@ -209,10 +216,10 @@ class InferenceState:
                     nb_vps = jnp.asarray(src[self.nb_idx[idx_p]])
                     nb_mask = jnp.asarray(self.nb_mask[idx_p])
                     bg_E, bg_V = _render_neighbor_bg(nb_vps, nb_mask, patches)
-                    res = fit_sources(vp0, patches, bg_E, bg_V,
-                                      config=newton_config)
+                    res = fit(vp0, patches, bg_E, bg_V,
+                              config=newton_config)
                 else:
-                    res = fit_sources(vp0, patches, config=newton_config)
+                    res = fit(vp0, patches, config=newton_config)
                 jax.block_until_ready(res.vp)
         except Exception as exc:
             # Production semantics: log the failed launch and keep the
