@@ -1,0 +1,89 @@
+"""Run the full GalSim-style accuracy suite and write a results artifact.
+
+The reference's north-star accuracy metric (SURVEY.md §6): each of the 28
+ground-truth scenes (benchmark/galsim/galsim_benchmarks.py cases) is rendered
+by the model forward path, inferred end-to-end, and the estimates are scored
+against the header truth. Writes benchmark/galsim_results.md (per-scene
+truth-vs-estimate table + summary error stats) and galsim_results.csv.
+
+Usage: python benchmark/run_galsim_suite.py [--joint] [--scenes a,b,c]
+CPU (f64) by default — accuracy artifact, not a speed benchmark.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--joint", action="store_true",
+                    help="joint (deblended) inference instead of single")
+    ap.add_argument("--scenes", default=None,
+                    help="comma-separated subset of scene names")
+    ap.add_argument("--out", default=None, help="output directory")
+    args = ap.parse_args()
+
+    from celeste_jl_tpu.benchmark import accuracy as ab
+    from celeste_jl_tpu.benchmark.galsim import SCENES, run_benchmarks
+
+    names = args.scenes.split(",") if args.scenes else [s.name for s in SCENES]
+    outdir = args.out or os.path.join(os.path.dirname(os.path.abspath(__file__)))
+
+    t0 = time.time()
+    truth_df, pred_df = run_benchmarks(names, joint_inference=args.joint)
+    wall = time.time() - t0
+
+    # per-row error columns
+    err = ab.get_error_df(truth_df, pred_df)
+    scores = ab.score_predictions(truth_df, [pred_df])
+
+    csv_path = os.path.join(outdir, "galsim_results.csv")
+    merged = truth_df[["objid", "is_star", "flux_r_nmgy", "gal_axis_ratio",
+                       "gal_radius_px", "gal_angle_deg"]].copy()
+    merged.columns = ["objid"] + [f"true_{c}" for c in merged.columns[1:]]
+    for c in ("is_star", "flux_r_nmgy", "gal_axis_ratio", "gal_radius_px",
+              "gal_angle_deg"):
+        merged[f"est_{c}"] = pred_df[c].values
+    merged.to_csv(csv_path, index=False)
+
+    md_path = os.path.join(outdir, "galsim_results.md")
+    with open(md_path, "w") as f:
+        f.write("# GalSim-style accuracy suite results\n\n")
+        f.write(f"{len(names)} scenes, {len(truth_df)} sources, "
+                f"{'joint' if args.joint else 'single'} inference, "
+                f"CPU f64, {wall:.0f}s wall.\n\n")
+        f.write("## Field scores (mean abs error over sources "
+                "with that field defined)\n\n")
+        f.write(scores.to_markdown(index=False))
+        f.write("\n\n## Per-source truth vs estimate\n\n")
+        f.write(merged.to_markdown(index=False, floatfmt=".3f"))
+        f.write("\n")
+
+    n_star_true = (truth_df["is_star"] > 0.5).values
+    n_star_est = (pred_df["is_star"] > 0.5).values
+    acc = float(np.mean(n_star_true == n_star_est))
+    flux_err = np.abs(pred_df["flux_r_nmgy"] - truth_df["flux_r_nmgy"]) \
+        / truth_df["flux_r_nmgy"]
+    print(f"scenes={len(names)} sources={len(truth_df)} wall={wall:.0f}s")
+    print(f"type accuracy: {acc:.3f}")
+    print(f"median rel flux err: {float(np.median(flux_err)):.4f}")
+    print(f"wrote {md_path} and {csv_path}")
+
+
+if __name__ == "__main__":
+    main()
