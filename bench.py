@@ -24,11 +24,15 @@ import numpy as np
 S = int(os.environ.get("BENCH_SOURCES", "512"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 TR_SOLVER = os.environ.get("BENCH_TR_SOLVER", "")
+PRECISION = os.environ.get("BENCH_PRECISION", "")
 BASELINE_FITS_PER_SEC = 1.0
 
 
 def main():
     import jax
+
+    if PRECISION:
+        jax.config.update("jax_default_matmul_precision", PRECISION)
 
     from __graft_entry__ import _synthetic_batch
     from celeste_jl_tpu.vi.optimize import fit_sources_compacted as fit_sources

@@ -31,8 +31,11 @@ import numpy as np  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--joint", action="store_true",
-                    help="joint (deblended) inference instead of single")
+    ap.add_argument("--joint", dest="joint", action="store_true",
+                    default=True, help="joint (deblended) inference (default)")
+    ap.add_argument("--single", dest="joint", action="store_false",
+                    help="per-source single inference — overlap scenes then "
+                         "absorb neighbor light (documented failure mode)")
     ap.add_argument("--scenes", default=None,
                     help="comma-separated subset of scene names")
     ap.add_argument("--out", default=None, help="output directory")
