@@ -89,3 +89,27 @@ def test_single_infer_targets_subset():
     assert len(results) == 1
     flux = _r_flux(results[0].vs, True)
     assert abs(flux - 30.0) / 30.0 < 0.2
+
+
+def test_joint_restart_pass_escapes_stale_background_basin():
+    """The final fresh-init restart pass (one_node_joint_infer
+    restart_final) must classify two equal overlapping stars correctly —
+    warm-started joint iterations alone lock the second star into the
+    galaxy basin it chose while its neighbor was unfit."""
+    from celeste_jl_tpu.benchmark.galsim import (SCENES_BY_NAME,
+                                                 make_initialization_catalog,
+                                                 render_scene)
+
+    images, truth = render_scene(SCENES_BY_NAME["overlapping_stars"],
+                                 seed=1234)
+    init = make_initialization_catalog(truth)
+    cfg = Config(min_radius_pix=16.0)
+    res = one_node_joint_infer(init, images, config=cfg)
+    for r, t in zip(res, truth):
+        assert (r.vs[ids.is_star[0]] > 0.5) == t.is_star, r.vs[ids.is_star]
+    # without the restart, the lock-in reproduces (guards the mechanism)
+    res_no = one_node_joint_infer(init, images, config=cfg,
+                                  restart_final=False)
+    flips = sum((r.vs[ids.is_star[0]] > 0.5) != t.is_star
+                for r, t in zip(res_no, truth))
+    assert flips >= 1
