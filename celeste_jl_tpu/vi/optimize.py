@@ -380,7 +380,7 @@ def fit_sources(vp0s, patches, bg_E_G=None, bg_var_G=None, include_kl=True,
 def fit_sources_compacted(vp0s, patches, bg_E_G=None, bg_var_G=None, *,
                           include_kl=True, config: NewtonConfig = NewtonConfig(),
                           hessian_mode="analytic", stage1_refreshes=10,
-                          min_bucket=64):
+                          min_bucket=64, stage2_hess_every=None):
     """Batched fits with convergence compaction (host-driven, two stages).
 
     A vmapped while_loop runs the whole batch until its SLOWEST lane
@@ -395,7 +395,14 @@ def fit_sources_compacted(vp0s, patches, bg_E_G=None, bg_var_G=None, *,
     same compiled program family at a smaller batch size.
 
     Exact per-lane semantics: identical to fit_sources (the refresh boundary
-    at which stage 2 resumes is a boundary the single-call loop also hits).
+    at which stage 2 resumes is a boundary the single-call loop also hits) —
+    unless stage2_hess_every is set, which stretches the Hessian-refresh
+    period for the stage-2 tail only. Measured at stage2_hess_every=9 on
+    the headline bench: +9% throughput (520 -> 567 fits/s), median ELBO
+    delta exactly 0, but 2/512 star-galaxy type flips (one a -4.2 nat
+    regression) — the stage-2 stragglers are precisely the hard multimodal
+    lanes, so basin selection is NOT always finished by stage 1. Off by
+    default: classification accuracy is the science output.
     """
     S = vp0s.shape[0]
     stage1 = min(stage1_refreshes, config.max_iters)
@@ -421,6 +428,8 @@ def fit_sources_compacted(vp0s, patches, bg_E_G=None, bg_var_G=None, *,
     sub = lambda a: None if a is None else jax.tree.map(
         lambda x: x[idx_p], a)
     cfg2 = config._replace(max_iters=rem)
+    if stage2_hess_every is not None:
+        cfg2 = cfg2._replace(hess_every=stage2_hess_every)
     res2 = fit_sources(sub(res1.vp), sub(patches), sub(bg_E_G),
                        sub(bg_var_G), include_kl=include_kl, config=cfg2,
                        hessian_mode=hessian_mode,
