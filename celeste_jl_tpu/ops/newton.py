@@ -51,6 +51,15 @@ class NewtonConfig(NamedTuple):
     # except "cg":
     #   "eig"    — XLA eigh per Hessian refresh (~33 ms in-graph per
     #              (512, 41, 41) f32 on TPU — over half of fit wall time);
+    #   "tridiag"— own LAPACK-style batched eigensolver (ops/tridiag.py):
+    #              Householder reduction + simultaneous Sturm bisection +
+    #              block inverse iteration. 2.1x faster than eigh standalone
+    #              and f64-exact, but measured SLOWER end-to-end in the f32
+    #              fit (262 vs 535 fits/s): on the fit's wide-spectrum
+    #              Hessians the f32 bisection's ABSOLUTE eigenvalue error
+    #              swamps the small eigenvalues the trust region pivots on,
+    #              and mean iterations go 58 -> 243. Kept for
+    #              moderate-condition problems;
     #   "jacobi" — systolic Jacobi diagonalization warm-started from the
     #              PREVIOUS refresh's eigenbasis (ops/jacobi.py). Measured
     #              SLOWER than "eig" on the headline bench (326 vs 540
@@ -309,11 +318,17 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
                                    (state0, Q0))
         return st
 
+    if config.tr_solver == "tridiag":
+        from .tridiag import tridiag_eigh
+        decompose = tridiag_eigh
+    else:
+        decompose = jnp.linalg.eigh
+
     def cycle(st: NewtonState):
         """Refresh the exact Hessian at st.x, then hess_every TR steps
         reusing it with fresh gradients."""
         f, g, H = fgh(st.x)
-        curv = H if config.tr_solver == "cg" else jnp.linalg.eigh(H)
+        curv = H if config.tr_solver == "cg" else decompose(H)
         st = st._replace(f=f, g=g, hess_calls=st.hess_calls + 1)
         return steps(st, curv)
 

@@ -85,3 +85,65 @@ def test_newton_jacobi_solver_recovers_star():
     assert vp[ids.is_star[0]] > 0.7
     flux = np.exp(vp[ids.flux_loc[0]] + 0.5 * vp[ids.flux_scale[0]])
     assert abs(flux - 40.0) / 40.0 < 0.12, flux
+
+
+# --- tridiagonal eigensolver (ops/tridiag.py) ---
+
+def test_tridiag_matches_eigh():
+    from celeste_jl_tpu.ops.tridiag import tridiag_eigh
+
+    H = _rand_sym(6, 41, seed=7)
+    w, Q = jax.jit(jax.vmap(tridiag_eigh))(jnp.asarray(H))
+    w = np.asarray(w)
+    Q = np.asarray(Q)
+    wref = np.linalg.eigvalsh(H)
+    np.testing.assert_allclose(np.sort(w, axis=1), wref, rtol=1e-9,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.einsum("sij,sik->sjk", Q, Q),
+                               np.broadcast_to(np.eye(41), (6, 41, 41)),
+                               atol=1e-10)
+    rec = np.einsum("sij,sj,skj->sik", Q, w, Q)
+    np.testing.assert_allclose(rec, H, atol=1e-8)
+
+
+def test_tridiag_clustered_spectrum():
+    """Block inverse iteration with interleaved MGS must handle clustered
+    eigenvalues (a rank-5 + noise matrix: 36 near-zero eigenvalues) — the
+    case where plain inverse iteration collapses."""
+    from celeste_jl_tpu.ops.tridiag import tridiag_eigh
+
+    rng = np.random.default_rng(8)
+    a = rng.normal(size=(3, 41, 5))
+    H = a @ a.transpose(0, 2, 1) + 1e-4 * _rand_sym(3, 41, seed=9)
+    w, Q = jax.jit(jax.vmap(tridiag_eigh))(jnp.asarray(H))
+    w = np.asarray(w)
+    Q = np.asarray(Q)
+    wref = np.linalg.eigvalsh(H)
+    np.testing.assert_allclose(np.sort(w, axis=1), wref,
+                               rtol=1e-7, atol=1e-7)
+    rec = np.einsum("sij,sj,skj->sik", Q, w, Q)
+    np.testing.assert_allclose(rec, H, atol=1e-6)
+
+
+def test_newton_tridiag_solver_matches_eig_fit():
+    from celeste_jl_tpu.models.params import ids
+    from celeste_jl_tpu.models.patches import (make_patch_for_source,
+                                               stack_patches)
+    from celeste_jl_tpu.ops.newton import NewtonConfig
+    from celeste_jl_tpu.synthetic import (gen_images, make_blank_images,
+                                          sample_galaxy)
+    from celeste_jl_tpu.vi.init import generic_init_source
+    from celeste_jl_tpu.vi.optimize import fit_sources
+
+    ce = sample_galaxy(pos=(20.0, 20.0), r_flux=60.0, gal_radius_px=2.0)
+    images = make_blank_images(H=40, W=40)
+    gen_images(images, [ce], seed=7)
+    patch = make_patch_for_source(images, ce.pos, radius=12, tile_size=32)
+    vp0 = jnp.asarray(generic_init_source(ce.pos))
+    pstack = stack_patches([patch])
+    r_eig = fit_sources(vp0[None], pstack)
+    r_td = fit_sources(vp0[None], pstack,
+                       config=NewtonConfig(tr_solver="tridiag"))
+    assert bool(r_td.converged[0])
+    assert abs(float(r_eig.elbo[0]) - float(r_td.elbo[0])) < 0.5
+    assert abs(float(r_td.vp[0][ids.gal_radius_px]) - 2.0) < 0.5
