@@ -1,0 +1,112 @@
+"""End-to-end field-scale benchmark: detection -> joint VI on one device.
+
+Synthesizes a survey-field-sized scene (prior-drawn stars and galaxies on
+5-band tiles), then runs the FULL production path — background estimation,
+source detection, Cyclades partitioning, batched joint VI with neighbor
+backgrounds and the final restart pass — and scores the recovered catalog
+against the truth. This is the BASELINE.md "one field end-to-end" config;
+`bench.py` measures only the batched-fit kernel.
+
+Prints a JSON summary line and writes benchmark/field_results.md.
+
+Env: FIELD_SOURCES (default 128), FIELD_SIZE (default 512),
+FIELD_SEED (default 7). Runs on whatever backend JAX picks (the real TPU
+chip under axon; force JAX_PLATFORMS=cpu for a CPU run).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_SOURCES = int(os.environ.get("FIELD_SOURCES", "128"))
+SIZE = int(os.environ.get("FIELD_SIZE", "512"))
+SEED = int(os.environ.get("FIELD_SEED", "7"))
+
+
+def main():
+    import numpy as np
+
+    from celeste_jl_tpu.models.image import CatalogEntry
+    from celeste_jl_tpu.models.params import ids
+    from celeste_jl_tpu.parallel.run import infer_box
+    from celeste_jl_tpu.synthetic import (gen_images, make_blank_images,
+                                          sample_galaxy, sample_star)
+    from celeste_jl_tpu.utils.config import Config
+
+    rng = np.random.default_rng(SEED)
+    margin = 16.0
+    n_star = N_SOURCES // 2
+    truth = []
+    pos = margin + rng.random((N_SOURCES, 2)) * (SIZE - 2 * margin)
+    for i in range(N_SOURCES):
+        p = tuple(pos[i])
+        if i < n_star:
+            truth.append(sample_star(pos=p, r_flux=float(
+                np.exp(rng.normal(3.0, 0.6)))))
+        else:
+            truth.append(sample_galaxy(
+                pos=p, r_flux=float(np.exp(rng.normal(3.2, 0.5))),
+                gal_radius_px=float(np.exp(rng.normal(0.7, 0.3))),
+                gal_axis_ratio=float(rng.uniform(0.25, 0.9)),
+                gal_angle=float(rng.uniform(0.0, np.pi))))
+
+    images = make_blank_images(H=SIZE, W=SIZE, sky_nmgy=0.05,
+                               nelec_per_nmgy=800.0)
+    gen_images(images, truth, seed=SEED)
+
+    t0 = time.time()
+    results = infer_box(images, method="joint_vi", config=Config(),
+                        thresh=6.0, boxsize=(SIZE, SIZE),
+                        match_radius_deg=1.0)
+    wall = time.time() - t0
+
+    # match recovered sources to truth by position (identity WCS: px units)
+    tpos = np.array([t.pos for t in truth])
+    rpos = np.array([r.init_pos for r in results])
+    from scipy.spatial import cKDTree
+    tree = cKDTree(tpos)
+    dist, nearest = tree.query(rpos, k=1)
+    matched = dist < 2.0
+    n_match = int(matched.sum())
+
+    type_ok = flux_errs = 0
+    errs = []
+    for r, t_i, m in zip(results, nearest, matched):
+        if not m:
+            continue
+        t = truth[t_i]
+        p_star = r.vs[ids.is_star[0]]
+        type_ok += int((p_star > 0.5) == t.is_star)
+        tf = (t.star_fluxes if t.is_star else t.gal_fluxes)[2]
+        j = 0 if p_star > 0.5 else 1
+        f = float(np.exp(r.vs[ids.flux_loc[j]]
+                         + 0.5 * r.vs[ids.flux_scale[j]]))
+        errs.append(abs(f - tf) / tf)
+
+    import jax
+    out = {
+        "metric": "field_e2e_sources_per_sec",
+        "value": round(len(results) / wall, 2),
+        "unit": "sources/s",
+        "n_true": N_SOURCES,
+        "n_detected": len(results),
+        "n_matched": n_match,
+        "completeness": round(n_match / N_SOURCES, 3),
+        "type_accuracy": round(type_ok / max(n_match, 1), 3),
+        "median_flux_relerr": round(float(np.median(errs)), 4) if errs else None,
+        "wall_s": round(wall, 1),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out))
+    md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "field_results.md")
+    with open(md, "w") as f:
+        f.write("# Field-scale end-to-end run\n\n```json\n"
+                + json.dumps(out, indent=2) + "\n```\n")
+
+
+if __name__ == "__main__":
+    main()
