@@ -200,8 +200,12 @@ class InferenceState:
         fresh_init: fit from generic_init_source instead of the warm vps —
         the restart pass against stale-background basin lock-in (see
         one_node_joint_infer).
-        keep_better: only accept lanes whose new ELBO beats the stored one
-        (valid when the background is unchanged between the two fits).
+        keep_better: only accept lanes whose new ELBO beats the stored one.
+        The comparison is exact when the neighbor background is unchanged
+        between the two fits; during a restart sweep neighbors fitted in
+        earlier classes may have moved slightly since the stored ELBO was
+        computed, so the comparison is approximate to that (small,
+        post-convergence) drift.
         """
         n = len(idx)
         if n == 0:

@@ -71,3 +71,46 @@ def test_choose_batch_size_runs():
     ids, nm = grid_conflict_graph(4)
     bs = choose_batch_size_auto(ids, nm, np.ones(16), 4)
     assert bs in (40, 60, 80, 120, 200)
+
+
+def test_color_classes_conflict_free_and_complete():
+    """Greedy coloring schedule (parallel/run.py): every target appears in
+    exactly one class, and no class contains two conflicting sources."""
+    import numpy as np
+
+    from celeste_jl_tpu.parallel.run import color_classes
+
+    rng = np.random.default_rng(5)
+    # random geometric conflict graph incl. a long chain
+    n = 60
+    nb = {i: [] for i in range(n)}
+    for i in range(24):          # chain 0-1-2-...-24
+        nb[i].append(i + 1)
+        nb[i + 1].append(i)
+    for _ in range(40):          # random extra conflicts
+        a, b = rng.integers(0, n, 2)
+        if a != b and b not in nb[a]:
+            nb[a].append(b)
+            nb[b].append(a)
+
+    classes = color_classes(list(range(n)), nb, rng=np.random.default_rng(0))
+    seen = [s for cls in classes for s in cls]
+    assert sorted(seen) == list(range(n))
+    for cls in classes:
+        cset = set(cls)
+        for s in cls:
+            assert not (cset & set(nb[s]) - {s}), (s, cls)
+    # a chain of length 25 needs only 2 colors, not 25 waves
+    assert len(classes) <= max(len(v) for v in nb.values()) + 1
+
+
+def test_color_classes_widest_first():
+    from celeste_jl_tpu.parallel.run import color_classes
+    import numpy as np
+
+    nb = {i: [] for i in range(10)}
+    nb[0] = [1]
+    nb[1] = [0]
+    classes = color_classes(list(range(10)), nb,
+                            rng=np.random.default_rng(0))
+    assert len(classes[0]) >= len(classes[-1])
