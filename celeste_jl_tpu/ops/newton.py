@@ -209,7 +209,8 @@ def _steihaug_cg(g, H, delta, iters):
 def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
                        config: NewtonConfig = NewtonConfig(),
                        fg: Optional[Callable] = None,
-                       delta0: Optional[jnp.ndarray] = None):
+                       delta0: Optional[jnp.ndarray] = None,
+                       converged0: Optional[jnp.ndarray] = None):
     """Minimize fgh's value with (lagged-Hessian) trust-region Newton.
 
     fgh(x) -> (f, g, H); fg(x) -> (f, g) — a cheaper evaluator used for the
@@ -217,9 +218,10 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
     discarding fgh's H). Returns final NewtonState. vmap over x0 (and any
     closure data of fgh/fg) for batched fits.
 
-    delta0: optional starting trust-region radius — pass a previous run's
-    final delta to warm-resume an interrupted fit (the staged-compaction
-    driver, vi/optimize.fit_sources_compacted).
+    delta0 / converged0: warm-resume state — pass a previous run's final
+    trust-region radius and converged flag to continue an interrupted fit
+    (the staged-compaction driver, vi/optimize.fit_sources_compacted);
+    already-converged lanes then stay frozen instead of re-running cycles.
     """
     if fg is None:
         def fg(x):
@@ -235,7 +237,8 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
         iters=jnp.asarray(0, jnp.int32),
         f_calls=jnp.asarray(1, jnp.int32),
         hess_calls=jnp.asarray(0, jnp.int32),
-        converged=jnp.asarray(False),
+        converged=(jnp.asarray(False) if converged0 is None
+                   else jnp.asarray(converged0)),
     )
 
     def tr_step(st: NewtonState, curv):

@@ -140,10 +140,14 @@ class InferenceState:
         self.max_neighbors = max_neighbors
 
         self.tile = np.array([_tile_for_radius(r) for r in self.radii])
-        self.patches = [
-            make_patch_for_source(images, ce.pos, radius=self.radii[s],
-                                  tile_size=int(self.tile[s]))
-            for s, ce in enumerate(catalog)]
+        # patches are built lazily, only for sources that actually get
+        # fitted (a sub-box target set can be much smaller than the
+        # detected catalog); _stacked caches the device-stacked group
+        # tensors across sweeps (they are immutable — re-stacking and
+        # re-uploading tens of MB per launch per sweep is pure waste).
+        self._patches = {}
+        self._pixel_counts = {}
+        self._stacked = {}
 
         # init_sources semantics (DeterministicVI.jl:94-103): catalog init
         # everywhere, generic re-init for optimization targets.
@@ -168,6 +172,27 @@ class InferenceState:
         self.elbos = np.full(S, -np.inf)
         self.converged = np.zeros(S, dtype=bool)
         self.iters = np.zeros(S, dtype=np.int64)
+
+    def patch(self, s):
+        """Per-source SkyPatch, built on first use and cached."""
+        if s not in self._patches:
+            p = make_patch_for_source(self.images, self.catalog[s].pos,
+                                      radius=self.radii[s],
+                                      tile_size=int(self.tile[s]))
+            self._patches[s] = p
+            self._pixel_counts[s] = int(np.asarray(p.mask).sum())
+        return self._patches[s]
+
+    def stacked_patches(self, idx_p):
+        """Device-stacked SkyPatch for a padded group, cached across
+        sweeps (host telemetry pixel counts ride along so no device mask
+        ever needs transferring back)."""
+        key = tuple(idx_p)
+        if key not in self._stacked:
+            patches = stack_patches([self.patch(s) for s in idx_p])
+            counts = np.array([self._pixel_counts[s] for s in idx_p])
+            self._stacked[key] = (patches, counts)
+        return self._stacked[key]
 
     # -- mid-box checkpointing (finer than the reference's box-level
     #    resume, main.jl:50-56): the mutable fit state round-trips through
@@ -212,7 +237,7 @@ class InferenceState:
             return
         pad = _next_pow2(n)
         idx_p = list(idx) + [idx[0]] * (pad - n)
-        patches = stack_patches([self.patches[s] for s in idx_p])
+        patches, pixel_counts = self.stacked_patches(idx_p)
         if fresh_init:
             vp0 = jnp.asarray(np.stack(
                 [generic_init_source(self.catalog[s].pos) for s in idx_p]))
@@ -257,11 +282,10 @@ class InferenceState:
         self.elbos[idxa] = elbo
         self.converged[idxa] = conv
         self.iters[np.asarray(idx)] += np.asarray(res.iters)[:n]
-        mask = np.asarray(patches.mask)
         telemetry.record_fit_launch(
             n, pad - n,
-            pixels_per_lane_real=mask[:n].sum(axis=(1, 2, 3)),
-            pixels_per_lane_total=mask[0].size,
+            pixels_per_lane_real=pixel_counts[:n],
+            pixels_per_lane_total=int(np.prod(patches.mask.shape[1:])),
             f_calls=np.asarray(res.f_calls))
 
 
@@ -341,7 +365,8 @@ def one_node_joint_infer(catalog, images, target_sources=None,
     st = state or InferenceState(catalog, images, config, target_sources,
                                  max_neighbors)
     targets = st.targets
-    nb_for_targets = {s: [n for n in st.neighbor_map[s] if n in set(targets)]
+    tset = set(targets)
+    nb_for_targets = {s: [n for n in st.neighbor_map[s] if n in tset]
                       for s in targets}
     rng = np.random.default_rng(seed)
     if batch_size is None:

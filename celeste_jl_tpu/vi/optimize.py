@@ -217,15 +217,16 @@ def _analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G):
 def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
              config: NewtonConfig = NewtonConfig(), loc_width=1e-4,
              loc_scale=1.0, pixel_axis=None, hessian_mode="analytic",
-             delta0=None, bounds_pos=None, free0=None):
+             delta0=None, bounds_pos=None, free0=None, converged0=None):
     """Fit one source. vp0: (44,). Returns FitResult.
 
-    delta0 / bounds_pos / free0: warm-resume state for staged compaction
-    (fit_sources_compacted) — the previous stage's final trust-region radius,
-    the ORIGINAL position-box center (so resuming does not re-center the
-    position bounds on the partially-optimized position), and the previous
-    stage's final free vector (bypassing the f32-hostile to_free roundtrip;
-    when free0 is given, vp0 is ignored).
+    delta0 / bounds_pos / free0 / converged0: warm-resume state for staged
+    compaction (fit_sources_compacted) — the previous stage's final
+    trust-region radius, the ORIGINAL position-box center (so resuming does
+    not re-center the position bounds on the partially-optimized position),
+    the previous stage's final free vector (bypassing the f32-hostile
+    to_free roundtrip; when free0 is given, vp0 is ignored), and the
+    previous stage's converged flag (already-converged lanes stay frozen).
 
     bg_E_G / bg_var_G: fixed neighbor brightness images (B, P, P); gradients
     are stopped through them.
@@ -345,7 +346,7 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
 
     state = minimize_newton_tr(
         fgh_analytic if hessian_mode == "analytic" else fgh,
-        free0, config, fg=fg, delta0=delta0)
+        free0, config, fg=fg, delta0=delta0, converged0=converged0)
     vp_opt = bijectors.to_bound(state.x, bounds)
     return FitResult(vp=vp_opt, elbo=-state.f, iters=state.iters,
                      f_calls=state.f_calls, converged=state.converged,
@@ -356,25 +357,27 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
 def fit_sources(vp0s, patches, bg_E_G=None, bg_var_G=None, include_kl=True,
                 config: NewtonConfig = NewtonConfig(),
                 hessian_mode="analytic", delta0=None, bounds_pos=None,
-                free0=None):
+                free0=None, converged0=None):
     """Batched fits: vp0s (S, 44), patches SkyPatch with leading S axis,
     optional bg images (S, B, P, P). Returns FitResult with leading S axis.
 
-    delta0 (S,) / bounds_pos (S, 2) / free0 (S, 41): warm-resume state,
-    see maximize."""
+    delta0 (S,) / bounds_pos (S, 2) / free0 (S, 41) / converged0 (S,):
+    warm-resume state, see maximize."""
     fit = partial(maximize, include_kl=include_kl, config=config,
                   hessian_mode=hessian_mode)
-    if delta0 is None and bounds_pos is None and free0 is None:
+    if (delta0 is None and bounds_pos is None and free0 is None
+            and converged0 is None):
         if bg_E_G is None:
             return jax.vmap(lambda v, p: fit(v, p))(vp0s, patches)
         return jax.vmap(fit)(vp0s, patches, bg_E_G, bg_var_G)
     if bg_E_G is None:
-        return jax.vmap(lambda v, p, d, bp, fr: fit(
-            v, p, delta0=d, bounds_pos=bp, free0=fr))(
-            vp0s, patches, delta0, bounds_pos, free0)
-    return jax.vmap(lambda v, p, bE, bV, d, bp, fr: fit(
-        v, p, bE, bV, delta0=d, bounds_pos=bp, free0=fr))(
-        vp0s, patches, bg_E_G, bg_var_G, delta0, bounds_pos, free0)
+        return jax.vmap(lambda v, p, d, bp, fr, cv: fit(
+            v, p, delta0=d, bounds_pos=bp, free0=fr, converged0=cv))(
+            vp0s, patches, delta0, bounds_pos, free0, converged0)
+    return jax.vmap(lambda v, p, bE, bV, d, bp, fr, cv: fit(
+        v, p, bE, bV, delta0=d, bounds_pos=bp, free0=fr, converged0=cv))(
+        vp0s, patches, bg_E_G, bg_var_G, delta0, bounds_pos, free0,
+        converged0)
 
 
 def fit_sources_compacted(vp0s, patches, bg_E_G=None, bg_var_G=None, *,
@@ -430,12 +433,17 @@ def fit_sources_compacted(vp0s, patches, bg_E_G=None, bg_var_G=None, *,
     cfg2 = config._replace(max_iters=rem)
     if stage2_hess_every is not None:
         cfg2 = cfg2._replace(hess_every=stage2_hess_every)
+    # converged0 matters only for the bucket >= S in-place path, where
+    # already-converged lanes are re-submitted: without it they would
+    # restart with converged=False and burn at least one more full refresh
+    # cycle (and drift from the single-call semantics).
     res2 = fit_sources(sub(res1.vp), sub(patches), sub(bg_E_G),
                        sub(bg_var_G), include_kl=include_kl, config=cfg2,
                        hessian_mode=hessian_mode,
                        delta0=res1.delta[idx_p],
                        bounds_pos=vp0s[idx_p][:, ids.pos],
-                       free0=res1.free[idx_p])
+                       free0=res1.free[idx_p],
+                       converged0=res1.converged[idx_p])
 
     # On-device scatters: a host-side merge would cost one blocking
     # device->host round trip per field, and over a tunneled TPU those RTTs
