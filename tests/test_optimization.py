@@ -135,3 +135,25 @@ def test_compacted_fits_match_plain():
     np.testing.assert_allclose(np.asarray(plain.elbo), np.asarray(comp.elbo),
                                rtol=1e-9)
     assert np.asarray(comp.converged).all()
+
+
+def test_resume_freezes_converged_lanes():
+    """minimize_newton_tr(converged0=True) must leave a lane untouched:
+    the staged-compaction in-place path re-submits converged lanes and
+    they must not burn extra refresh cycles or drift."""
+    import jax
+
+    from celeste_jl_tpu.ops.newton import NewtonConfig, minimize_newton_tr
+
+    def fgh(x):
+        f = jnp.sum((x - 2.0) ** 2)
+        return f, 2.0 * (x - 2.0), 2.0 * jnp.eye(x.shape[0])
+
+    x0 = jnp.asarray(np.array([5.0, -3.0, 0.5]))
+    frozen = minimize_newton_tr(fgh, x0, NewtonConfig(max_iters=10),
+                                converged0=jnp.asarray(True))
+    np.testing.assert_array_equal(np.asarray(frozen.x), np.asarray(x0))
+    assert int(frozen.iters) == 0
+    live = minimize_newton_tr(fgh, x0, NewtonConfig(max_iters=10),
+                              converged0=jnp.asarray(False))
+    np.testing.assert_allclose(np.asarray(live.x), 2.0, atol=1e-6)
