@@ -52,6 +52,7 @@ def read_config(filename):
 def save_results(outdir, box: BoundingBox, results):
     """Results -> one npz per sky box (main.jl:50-56). Resume granularity is
     the box: re-run missing boxes."""
+    os.makedirs(outdir, exist_ok=True)
     fname = os.path.join(
         outdir, f"celeste-{box.ramin:.4f}-{box.ramax:.4f}"
                 f"-{box.decmin:.4f}-{box.decmax:.4f}.npz")

@@ -61,8 +61,9 @@ def test_main_end_to_end_on_fixture_field(tmp_path):
     _write_config(tmp_path / "celeste.yml", base)
     lo = wcs.pix_to_world([10.0, 10.0])
     hi = wcs.pix_to_world([90.0, 60.0])
-    outdir = tmp_path / "out"
-    outdir.mkdir()
+    # outdir intentionally NOT pre-created: save_results must mkdir it
+    # (regression: np.savez used to crash AFTER inference completed)
+    outdir = tmp_path / "out" / "nested"
     rc = main(["sdss",
                str(min(lo[0], hi[0])), str(max(lo[0], hi[0])),
                str(min(lo[1], hi[1])), str(max(lo[1], hi[1])),
