@@ -250,7 +250,7 @@ class InferenceState:
         fit = fit_sources if pad < 256 else partial(
             fit_sources_compacted, stage1_refreshes=10)
         try:
-            with telemetry.launch_timer():
+            with telemetry.launch_timer(f"n={n} pad={pad} P{patches.pixels.shape[-1]}"):
                 if use_bg:
                     src = self.vps if bg_vps is None else bg_vps
                     nb_vps = jnp.asarray(src[self.nb_idx[idx_p]])

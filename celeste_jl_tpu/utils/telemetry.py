@@ -57,14 +57,20 @@ counters = Counters()
 
 
 @contextmanager
-def launch_timer():
-    """Times one batched device launch into the global counters."""
+def launch_timer(label=""):
+    """Times one batched device launch into the global counters. Set
+    CELESTE_LOG_LAUNCHES=1 to log each launch's wall time (perf triage)."""
+    import os
     t0 = time.perf_counter()
     try:
         yield
     finally:
+        dt = time.perf_counter() - t0
         counters.launches += 1
-        counters.launch_s += time.perf_counter() - t0
+        counters.launch_s += dt
+        if os.environ.get("CELESTE_LOG_LAUNCHES"):
+            from . import log as Log
+            Log.info(f"launch {label}: {dt:.2f}s")
 
 
 def record_fit_launch(n_real, n_padded, pixels_per_lane_real,
