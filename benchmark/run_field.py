@@ -29,6 +29,9 @@ SEED = int(os.environ.get("FIELD_SEED", "7"))
 def main():
     import numpy as np
 
+    from celeste_jl_tpu.utils.config import enable_compile_cache
+    enable_compile_cache()
+
     from celeste_jl_tpu.models.image import CatalogEntry
     from celeste_jl_tpu.models.params import ids
     from celeste_jl_tpu.parallel.run import infer_box

@@ -79,6 +79,8 @@ def load_results(fname):
 
 
 def main(argv=None):
+    from .utils.config import enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(
         prog="infer-box",
         description="Infer a catalog for one RA/Dec box of the sky.")
