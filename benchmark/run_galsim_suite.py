@@ -64,6 +64,14 @@ def main():
         merged[f"est_{c}"] = pred_df[c].values
     merged.to_csv(csv_path, index=False)
 
+    # uncertainty calibration (within-k-sigma fractions; a calibrated
+    # posterior gives ~0.38 / 0.68 / 0.95)
+    try:
+        unc = ab.score_uncertainty(ab.get_uncertainty_df(truth_df, pred_df))
+    except Exception as exc:
+        unc = None
+        print("uncertainty scoring skipped:", exc)
+
     md_path = os.path.join(outdir, "galsim_results.md")
     with open(md_path, "w") as f:
         f.write("# GalSim-style accuracy suite results\n\n")
@@ -73,6 +81,11 @@ def main():
         f.write("## Field scores (mean abs error over sources "
                 "with that field defined)\n\n")
         f.write(scores.to_markdown(index=False))
+        if unc is not None:
+            f.write("\n\n## Posterior uncertainty calibration "
+                    "(fraction of errors within k posterior std errs; "
+                    "calibrated ~ 0.38 / 0.68 / 0.95)\n\n")
+            f.write(unc.to_markdown(index=False))
         f.write("\n\n## Per-source truth vs estimate\n\n")
         f.write(merged.to_markdown(index=False, floatfmt=".3f"))
         f.write("\n")
