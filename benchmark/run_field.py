@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_SOURCES = int(os.environ.get("FIELD_SOURCES", "128"))
 SIZE = int(os.environ.get("FIELD_SIZE", "512"))
 SEED = int(os.environ.get("FIELD_SEED", "7"))
+# FIELD_REPEAT > 1 simulates a long-lived farm worker: later fields reuse
+# the process's loaded programs (the first field pays one-time cache
+# deserialization per launch shape)
+REPEAT = int(os.environ.get("FIELD_REPEAT", "1"))
 
 
 def main():
@@ -39,32 +43,38 @@ def main():
                                           sample_galaxy, sample_star)
     from celeste_jl_tpu.utils.config import Config
 
-    rng = np.random.default_rng(SEED)
     margin = 16.0
     n_star = N_SOURCES // 2
-    truth = []
-    pos = margin + rng.random((N_SOURCES, 2)) * (SIZE - 2 * margin)
-    for i in range(N_SOURCES):
-        p = tuple(pos[i])
-        if i < n_star:
-            truth.append(sample_star(pos=p, r_flux=float(
-                np.exp(rng.normal(3.0, 0.6)))))
-        else:
-            truth.append(sample_galaxy(
-                pos=p, r_flux=float(np.exp(rng.normal(3.2, 0.5))),
-                gal_radius_px=float(np.exp(rng.normal(0.7, 0.3))),
-                gal_axis_ratio=float(rng.uniform(0.25, 0.9)),
-                gal_angle=float(rng.uniform(0.0, np.pi))))
 
-    images = make_blank_images(H=SIZE, W=SIZE, sky_nmgy=0.05,
-                               nelec_per_nmgy=800.0)
-    gen_images(images, truth, seed=SEED)
+    def make_field(seed):
+        rng = np.random.default_rng(seed)
+        truth = []
+        pos = margin + rng.random((N_SOURCES, 2)) * (SIZE - 2 * margin)
+        for i in range(N_SOURCES):
+            p = tuple(pos[i])
+            if i < n_star:
+                truth.append(sample_star(pos=p, r_flux=float(
+                    np.exp(rng.normal(3.0, 0.6)))))
+            else:
+                truth.append(sample_galaxy(
+                    pos=p, r_flux=float(np.exp(rng.normal(3.2, 0.5))),
+                    gal_radius_px=float(np.exp(rng.normal(0.7, 0.3))),
+                    gal_axis_ratio=float(rng.uniform(0.25, 0.9)),
+                    gal_angle=float(rng.uniform(0.0, np.pi))))
+        images = make_blank_images(H=SIZE, W=SIZE, sky_nmgy=0.05,
+                                   nelec_per_nmgy=800.0)
+        gen_images(images, truth, seed=seed)
+        return images, truth
 
-    t0 = time.time()
-    results = infer_box(images, method="joint_vi", config=Config(),
-                        thresh=6.0, boxsize=(SIZE, SIZE),
-                        match_radius_deg=1.0)
-    wall = time.time() - t0
+    walls = []
+    for rep in range(REPEAT):
+        images, truth = make_field(SEED + 1000 * rep)
+        t0 = time.time()
+        results = infer_box(images, method="joint_vi", config=Config(),
+                            thresh=6.0, boxsize=(SIZE, SIZE),
+                            match_radius_deg=1.0)
+        walls.append(time.time() - t0)
+    wall = walls[-1]
 
     # match recovered sources to truth by position (identity WCS: px units)
     tpos = np.array([t.pos for t in truth])
@@ -102,6 +112,7 @@ def main():
         "median_flux_relerr": round(float(np.median(errs)), 4) if errs else None,
         "wall_s": round(wall, 1),
         "backend": jax.default_backend(),
+        "walls_per_field_s": [round(w, 1) for w in walls],
     }
     print(json.dumps(out))
     md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
