@@ -235,7 +235,13 @@ class InferenceState:
         n = len(idx)
         if n == 0:
             return
-        pad = _next_pow2(n)
+        # pad to a power of two, floored (for fields of 32+ targets) at 32:
+        # launch shapes are compile keys, and the small late color classes
+        # otherwise mint a fresh program per distinct tiny size — padding
+        # them up to one shared shape costs cheap idle lanes and makes a
+        # farm worker's program cache saturate after the first box or two.
+        floor = min(32, _next_pow2(max(len(self.targets), 1)))
+        pad = max(_next_pow2(n), floor)
         idx_p = list(idx) + [idx[0]] * (pad - n)
         patches, pixel_counts = self.stacked_patches(idx_p)
         if fresh_init:
