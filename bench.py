@@ -24,6 +24,8 @@ import numpy as np
 S = int(os.environ.get("BENCH_SOURCES", "512"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 TR_SOLVER = os.environ.get("BENCH_TR_SOLVER", "")
+HESS_EVERY = os.environ.get("BENCH_HESS_EVERY", "")
+MS_ITERS = os.environ.get("BENCH_MS_ITERS", "")
 PRECISION = os.environ.get("BENCH_PRECISION", "")
 BASELINE_FITS_PER_SEC = 1.0
 
@@ -43,9 +45,16 @@ def main():
 
     t0 = time.perf_counter()
     kw = {}
-    if TR_SOLVER:
+    if TR_SOLVER or HESS_EVERY or MS_ITERS:
         from celeste_jl_tpu.ops.newton import NewtonConfig
-        kw["config"] = NewtonConfig(tr_solver=TR_SOLVER)
+        cfg = NewtonConfig()
+        if TR_SOLVER:
+            cfg = cfg._replace(tr_solver=TR_SOLVER)
+        if HESS_EVERY:
+            cfg = cfg._replace(hess_every=int(HESS_EVERY))
+        if MS_ITERS:
+            cfg = cfg._replace(ms_iters=int(MS_ITERS))
+        kw["config"] = cfg
     res = fit_sources(vp0s, patches, **kw)  # compile + warm up
     jax.block_until_ready(res.vp)
     compile_s = time.perf_counter() - t0

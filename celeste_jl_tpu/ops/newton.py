@@ -76,15 +76,21 @@ class NewtonConfig(NamedTuple):
     #              (ms_iters safeguarded-Newton iterations on the secular
     #              equation per TR step). Batched (512, 41, 41) cholesky
     #              measures ~30x cheaper than eigh on TPU
-    #              (tools/microbench_tr.py), so ms_iters factorizations per
-    #              step undercut one amortized eigh per refresh. Near-exact
-    #              like "eig" (boundary solutions DO follow negative
-    #              curvature) except the exact hard case, where it returns
-    #              the interior-limited step without the eigenvector
+    #              (tools/microbench_tr.py). Near-exact like "eig"
+    #              (boundary solutions DO follow negative curvature) except
+    #              the exact hard case, where it returns the
+    #              interior-limited step without the eigenvector
     #              correction. ms_iters=8 measurably under-resolves lam on
     #              the star/galaxy fits (lands a worse basin, is_star 0.60
     #              vs 0.99 on the single-star recovery test); 10-12 match
-    #              "eig" fit quality — hence the 12 default.
+    #              "eig" fit quality — hence the 12 default. Measured
+    #              SLOWER than "eig" on the headline bench either way:
+    #              187 fits/s at hess_every=6 (12 factorizations/step lose
+    #              to one eigh amortized over 6 steps) and 242 fits/s at
+    #              hess_every=1/ms_iters=6 (exact-Newton halves iterations
+    #              to ~31 but pays a fresh analytic Hessian per step) vs
+    #              540 for "eig". Kept for problems whose Hessian refresh
+    #              is cheap relative to eigh.
     tr_solver: str = "eig"
     cg_iters: int = 41
     ms_iters: int = 12
