@@ -74,18 +74,26 @@ def extract(data, thresh, noise=None, minarea=5, deblend=True,
         zi = np.zeros(0, dtype=np.int64)
         return Catalog(z, z, z, z, z, z, zi, zi, zi, zi, zi)
 
-    segments = []
-    for lab in range(1, nlab + 1):
-        mask = labels == lab
-        if mask.sum() < minarea:
+    # Work per-object on bounding-box crops (as SEP does on its extracted
+    # pixel lists): the multi-threshold deblender re-labels a segment up to
+    # nthresh times, and doing that on full-frame arrays is O(HW) per level
+    # per object — measured 56 s of ndimage.label on a 512x512 128-source
+    # field vs <1 s on crops.
+    rows = []
+    for sl, lab in zip(ndimage.find_objects(labels), range(1, nlab + 1)):
+        if sl is None:
             continue
+        mask_c = labels[sl] == lab
+        if mask_c.sum() < minarea:
+            continue
+        data_c = data[sl]
+        off = (sl[0].start, sl[1].start)
         if deblend:
-            segments.extend(_deblend(data, mask, t, deblend_nthresh,
-                                     deblend_cont, minarea))
+            segs = _deblend(data_c, mask_c, t, deblend_nthresh,
+                            deblend_cont, minarea)
         else:
-            segments.append(mask)
-
-    rows = [_moments(data, m) for m in segments]
+            segs = [mask_c]
+        rows.extend(_moments(data_c, m, off) for m in segs)
     if not rows:
         z = np.zeros(0)
         zi = np.zeros(0, dtype=np.int64)
@@ -140,9 +148,13 @@ def _deblend(data, mask, t, nthresh, cont, minarea):
     return [mask]
 
 
-def _moments(data, mask):
-    ii, jj = np.nonzero(mask)
-    vals = np.maximum(data[ii, jj], 0.0)
+def _moments(data, mask, offset=(0, 0)):
+    """Ellipse moments of one segment. `data`/`mask` may be bounding-box
+    crops; `offset` is the crop origin in the full frame."""
+    ii0, jj0 = np.nonzero(mask)
+    vals = np.maximum(data[ii0, jj0], 0.0)
+    ii = ii0 + offset[0]
+    jj = jj0 + offset[1]
     flux = vals.sum()
     w = vals / flux if flux > 0 else np.full(vals.shape, 1.0 / len(vals))
     x = (w * (ii + 1.0)).sum()   # 1-based

@@ -467,10 +467,18 @@ def _collect_results(st: InferenceState):
 def infer_box(images, box=None, method="joint_vi", catalog=None,
               config=Config(), **detect_kwargs):
     """Detect (or take) a catalog and infer all sources inside `box`
-    (ParallelRun.jl:652-673). method: joint_vi | single_vi | mcmc."""
+    (ParallelRun.jl:652-673). method: joint_vi | single_vi | mcmc.
+
+    Phase wall times (detect / infer incl. collect) are logged, mirroring
+    the reference's box-level @time reporting (ParallelRun.jl:655-669)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
     if catalog is None:
         catalog, _ = detect_sources(images, **detect_kwargs)
-    Log.info(f"infer_box: {len(catalog)} detected sources, method={method}")
+    t_detect = _time.perf_counter() - t0
+    Log.info(f"infer_box: {len(catalog)} detected sources, method={method} "
+             f"(detect {t_detect:.2f}s)")
     if not catalog:
         return []
     if box is not None:
@@ -479,11 +487,16 @@ def infer_box(images, box=None, method="joint_vi", catalog=None,
                    if box.contains(pos[i, 0], pos[i, 1])]
     else:
         targets = None
+    t1 = _time.perf_counter()
     if method == "joint_vi":
-        return one_node_joint_infer(catalog, images, targets, config)
-    if method == "single_vi":
-        return one_node_single_infer(catalog, images, targets, config)
-    if method == "mcmc":
+        out = one_node_joint_infer(catalog, images, targets, config)
+    elif method == "single_vi":
+        out = one_node_single_infer(catalog, images, targets, config)
+    elif method == "mcmc":
         from ..mcmc.infer import one_node_mcmc_infer
-        return one_node_mcmc_infer(catalog, images, targets, config)
-    raise ValueError(f"unknown method {method!r}")
+        out = one_node_mcmc_infer(catalog, images, targets, config)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    Log.info(f"infer_box: inferred {len(out)} sources "
+             f"in {_time.perf_counter() - t1:.2f}s")
+    return out
