@@ -104,14 +104,17 @@ def make_patch_for_source(images, world_pos, radius, tile_size):
         valid[sl_t] = ~np.isnan(pix[b][sl_t])
         mask[b] = inbox & valid
 
-    return SkyPatch(pixels=jnp.asarray(pix), mask=jnp.asarray(mask),
-                    sky=jnp.asarray(sky), iota=jnp.asarray(iota),
-                    offset=jnp.asarray(offset), wcs_jacobian=jnp.asarray(jac),
-                    world_center=jnp.asarray(wc), pixel_center=jnp.asarray(pc),
-                    psf=jnp.asarray(psf))
+    # Leaves stay HOST numpy: a per-source device upload is 9 transfers per
+    # patch (over a tunneled TPU each is a round-trip — measured ~10 s of
+    # host time per 128-source field); stack_patches uploads each field's
+    # group once instead. numpy leaves enter jit/vmap transparently.
+    return SkyPatch(pixels=pix, mask=mask, sky=sky, iota=iota,
+                    offset=offset, wcs_jacobian=jac, world_center=wc,
+                    pixel_center=pc, psf=psf)
 
 
 def stack_patches(patches):
-    """Stack a list of per-source SkyPatches into one with leading S axis."""
-    return SkyPatch(*[jnp.stack([getattr(p, f) for p in patches])
+    """Stack per-source SkyPatches into one with leading S axis, placed on
+    device — ONE transfer per field (9 total), however many sources."""
+    return SkyPatch(*[jnp.asarray(np.stack([getattr(p, f) for p in patches]))
                       for f in SkyPatch._fields])

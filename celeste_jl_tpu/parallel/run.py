@@ -307,7 +307,7 @@ def _waves(components):
         w += 1
 
 
-def color_classes(targets, neighbor_map, rng=None):
+def color_classes(targets, neighbor_map, rng=None, tile=None):
     """Greedy coloring of the conflict graph: a partition of `targets` into
     conflict-free classes, each as WIDE as possible.
 
@@ -320,19 +320,58 @@ def color_classes(targets, neighbor_map, rng=None):
     each fit still reads the freshest neighbor vps, so the
     serial-equivalence argument of Cyclades (partition.jl:85-236) carries
     over unchanged.
+
+    Class sizes are BALANCED: only conflicted sources are pinned to
+    distinct classes; the (typically majority) conflict-free sources can go
+    anywhere, and each is placed where it least grows the padded-launch
+    cost (launches pad to a power of two per tile bucket, so a greedy
+    class-0 dump pads the first class up a power while the tail classes
+    pad up to the 32-lane floor — pure idle lanes both ways). `tile`:
+    optional {source: tile_size} so balancing happens within the per-class
+    per-bucket groups one_node_joint_infer actually launches.
     """
     rng = rng or np.random.default_rng(42)
     order = list(targets)
     rng.shuffle(order)
+    tile_of = (lambda s: tile[s]) if tile is not None else (lambda s: 0)
+
+    constrained = [s for s in order if neighbor_map.get(s)]
+    free = [s for s in order if not neighbor_map.get(s)]
+
+    def pad_cost(n):
+        return 0 if n == 0 else max(_next_pow2(n), 32)
+
     color = {}
-    for s in order:
-        used = {color[n] for n in neighbor_map.get(s, ()) if n in color}
-        c = 0
-        while c in used:
-            c += 1
+    # per-(color, tile) group sizes
+    sizes = []
+
+    def grow(c, s):
         color[s] = c
-    n_colors = max(color.values()) + 1 if color else 0
-    classes = [[] for _ in range(n_colors)]
+        while c >= len(sizes):
+            sizes.append({})
+        t = tile_of(s)
+        sizes[c][t] = sizes[c].get(t, 0) + 1
+
+    def placement_cost(c, s):
+        """(padded-lane increase, resulting group size) of adding s to c —
+        prefer fills that stay within the current power-of-two pad, then
+        smaller groups."""
+        n = sizes[c].get(tile_of(s), 0) if c < len(sizes) else 0
+        return (pad_cost(n + 1) - pad_cost(n), n)
+
+    for s in constrained:
+        used = {color[n] for n in neighbor_map.get(s, ()) if n in color}
+        cands = [c for c in range(len(sizes)) if c not in used]
+        if not cands:
+            grow(len(sizes), s)
+        else:
+            grow(min(cands, key=lambda c: placement_cost(c, s)), s)
+    if not sizes:
+        sizes.append({})
+    for s in free:
+        grow(min(range(len(sizes)), key=lambda c: placement_cost(c, s)), s)
+
+    classes = [[] for _ in range(len(sizes))]
     for s in order:
         classes[color[s]].append(s)
     # widest first: the big classes amortize launch overhead best

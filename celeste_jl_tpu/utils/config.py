@@ -15,6 +15,28 @@ class Config:
     num_joint_vi_iters: int = 3
 
 
+def host_cache_tag():
+    """Short tag identifying this host's CPU feature set. XLA:CPU caches
+    AOT-compiled executables keyed only by program; loading one compiled on
+    a host with different vector extensions aborts the process mid-
+    deserialization (observed as SIGABRT in compilation_cache
+    get_executable_and_time after a machine migration). Keying the cache
+    directory by CPU flags makes a host change start a fresh cache instead
+    of crashing on the stale one."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:8]
+
+
 def enable_compile_cache(path=None):
     """Persistent XLA compile cache. The fit programs take minutes to
     compile cold (one per (batch, tile) shape) but milliseconds to run —
@@ -28,7 +50,8 @@ def enable_compile_cache(path=None):
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
-            path or os.environ.get("CELESTE_JAX_CACHE", "/tmp/jax_cache"))
+            path or os.environ.get("CELESTE_JAX_CACHE",
+                                   f"/tmp/jax_cache-{host_cache_tag()}"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:

@@ -19,9 +19,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite is dominated by XLA compiles of
-# the batched Newton fit; cache them across pytest processes.
+# the batched Newton fit; cache them across pytest processes. The directory
+# is keyed by host CPU flags — loading an XLA:CPU executable AOT-compiled
+# on a different machine aborts the process (see utils/config.host_cache_tag).
+from celeste_jl_tpu.utils.config import host_cache_tag  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+                  os.environ.get("JAX_CACHE_DIR",
+                                 f"/tmp/jax_cache-{host_cache_tag()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
