@@ -21,7 +21,9 @@ import time
 
 import numpy as np
 
-S = int(os.environ.get("BENCH_SOURCES", "512"))
+# 1024 measured ~3% over 512 on the TPU chip (544 vs 530 fits/s) — the eigh
+# and render stages are linear, but per-launch fixed costs amortize further.
+S = int(os.environ.get("BENCH_SOURCES", "1024"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 TR_SOLVER = os.environ.get("BENCH_TR_SOLVER", "")
 HESS_EVERY = os.environ.get("BENCH_HESS_EVERY", "")
@@ -35,6 +37,11 @@ def main():
 
     if PRECISION:
         jax.config.update("jax_default_matmul_precision", PRECISION)
+
+    # Persistent compile cache: the fit program family takes minutes to
+    # compile cold over a tunneled TPU; warm runs skip straight to timing.
+    from celeste_jl_tpu.utils.config import enable_compile_cache
+    enable_compile_cache()
 
     from __graft_entry__ import _synthetic_batch
     from celeste_jl_tpu.vi.optimize import fit_sources_compacted as fit_sources

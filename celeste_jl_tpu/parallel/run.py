@@ -216,11 +216,13 @@ class InferenceState:
         self.iters = d["iters"]
         return int(d["cursor"])
 
-    def fit_group(self, idx, newton_config: NewtonConfig, use_bg=True,
-                  bg_vps=None, fresh_init=False, keep_better=False):
-        """One batched launch over sources `idx` (same tile size), padded to
-        a power of two. Updates vps/elbos in place. Neighbor background is
-        rendered from `bg_vps` (default: the live, freshest self.vps).
+    def dispatch_group(self, idx, newton_config: NewtonConfig, use_bg=True,
+                       bg_vps=None, fresh_init=False, keep_better=False):
+        """Dispatch one batched launch over sources `idx` (same tile size),
+        padded to a power of two, WITHOUT waiting for the device. Returns a
+        pending record for finish_group, or None. Neighbor background is
+        rendered from `bg_vps` (default: the live, freshest self.vps —
+        snapshotted at dispatch time by the device upload).
 
         fresh_init: fit from generic_init_source instead of the warm vps —
         the restart pass against stale-background basin lock-in (see
@@ -234,7 +236,7 @@ class InferenceState:
         """
         n = len(idx)
         if n == 0:
-            return
+            return None
         # pad to a power of two, floored (for fields of 32+ targets) at 32:
         # launch shapes are compile keys, and the small late color classes
         # otherwise mint a fresh program per distinct tiny size — padding
@@ -243,6 +245,7 @@ class InferenceState:
         floor = min(32, _next_pow2(max(len(self.targets), 1)))
         pad = max(_next_pow2(n), floor)
         idx_p = list(idx) + [idx[0]] * (pad - n)
+        t0 = telemetry.now()
         patches, pixel_counts = self.stacked_patches(idx_p)
         if fresh_init:
             vp0 = jnp.asarray(np.stack(
@@ -256,17 +259,14 @@ class InferenceState:
         fit = fit_sources if pad < 256 else partial(
             fit_sources_compacted, stage1_refreshes=10)
         try:
-            with telemetry.launch_timer(f"n={n} pad={pad} P{patches.pixels.shape[-1]}"):
-                if use_bg:
-                    src = self.vps if bg_vps is None else bg_vps
-                    nb_vps = jnp.asarray(src[self.nb_idx[idx_p]])
-                    nb_mask = jnp.asarray(self.nb_mask[idx_p])
-                    bg_E, bg_V = _render_neighbor_bg(nb_vps, nb_mask, patches)
-                    res = fit(vp0, patches, bg_E, bg_V,
-                              config=newton_config)
-                else:
-                    res = fit(vp0, patches, config=newton_config)
-                jax.block_until_ready(res.vp)
+            if use_bg:
+                src = self.vps if bg_vps is None else bg_vps
+                nb_vps = jnp.asarray(src[self.nb_idx[idx_p]])
+                nb_mask = jnp.asarray(self.nb_mask[idx_p])
+                bg_E, bg_V = _render_neighbor_bg(nb_vps, nb_mask, patches)
+                res = fit(vp0, patches, bg_E, bg_V, config=newton_config)
+            else:
+                res = fit(vp0, patches, config=newton_config)
         except Exception as exc:
             # Production semantics: log the failed launch and keep the
             # sources at their previous state (ParallelRun.jl:390-396,
@@ -275,24 +275,56 @@ class InferenceState:
                 raise
             Log.exception(exc)
             telemetry.counters.failures += len(idx)
+            return None
+        return dict(idx=idx, n=n, pad=pad, res=res, t0=t0,
+                    pixel_counts=pixel_counts, keep_better=keep_better,
+                    pixels_per_lane_total=int(np.prod(patches.mask.shape[1:])),
+                    label=f"n={n} pad={pad} P{patches.pixels.shape[-1]}")
+
+    def finish_group(self, pending):
+        """Block on a dispatched launch and apply its results to the host
+        state. Separate from dispatch_group so that the conflict-free groups
+        of one color class can all be in flight at once — device compute,
+        host prep, and device->host transfers overlap instead of paying one
+        full round trip per tile bucket (material over a tunneled TPU)."""
+        if pending is None:
             return
+        idx, n, res = pending["idx"], pending["n"], pending["res"]
+        try:
+            vp = np.asarray(res.vp)[:n]
+            elbo = np.asarray(res.elbo)[:n]
+            conv = np.asarray(res.converged)[:n]
+            iters = np.asarray(res.iters)[:n]
+            f_calls = np.asarray(res.f_calls)
+        except Exception as exc:
+            # Runtime failures of an async launch surface at the transfer.
+            if not is_production_run():
+                raise
+            Log.exception(exc)
+            telemetry.counters.failures += len(idx)
+            return
+        telemetry.record_launch_wall(pending["t0"], pending["label"])
         idxa = np.asarray(idx)
-        vp = np.asarray(res.vp)[:n]
-        elbo = np.asarray(res.elbo)[:n]
-        conv = np.asarray(res.converged)[:n]
-        if keep_better:
+        if pending["keep_better"]:
             take = elbo > self.elbos[idxa]
             idxa = idxa[take]
             vp, elbo, conv = vp[take], elbo[take], conv[take]
         self.vps[idxa] = vp
         self.elbos[idxa] = elbo
         self.converged[idxa] = conv
-        self.iters[np.asarray(idx)] += np.asarray(res.iters)[:n]
+        self.iters[np.asarray(idx)] += iters
         telemetry.record_fit_launch(
-            n, pad - n,
-            pixels_per_lane_real=pixel_counts[:n],
-            pixels_per_lane_total=int(np.prod(patches.mask.shape[1:])),
-            f_calls=np.asarray(res.f_calls))
+            n, pending["pad"] - n,
+            pixels_per_lane_real=pending["pixel_counts"][:n],
+            pixels_per_lane_total=pending["pixels_per_lane_total"],
+            f_calls=f_calls)
+
+    def fit_group(self, idx, newton_config: NewtonConfig, use_bg=True,
+                  bg_vps=None, fresh_init=False, keep_better=False):
+        """Dispatch one group and wait for it (see dispatch_group)."""
+        self.finish_group(self.dispatch_group(
+            idx, newton_config, use_bg=use_bg, bg_vps=bg_vps,
+            fresh_init=fresh_init, keep_better=keep_better))
 
 
 def _waves(components):
@@ -432,6 +464,17 @@ def one_node_joint_infer(catalog, images, target_sources=None,
         cursor = st.restore(checkpoint_path)
         Log.info(f"joint infer: resuming at step {cursor}")
 
+    def fit_class(cls, **kw):
+        # The tile-bucket groups of one class are mutually conflict-free:
+        # dispatch them all, then collect — host prep and device->host
+        # transfers overlap with device compute instead of paying one
+        # blocking round trip per bucket.
+        pend = [st.dispatch_group([s for s in cls if st.tile[s] == P],
+                                  newton_config, use_bg=True, **kw)
+                for P in TILE_BUCKETS]
+        for p in pend:
+            st.finish_group(p)
+
     telemetry.counters.reset()
     step = 0
     for it in range(config.num_joint_vi_iters):
@@ -440,18 +483,13 @@ def one_node_joint_infer(catalog, images, target_sources=None,
             if step <= cursor:
                 continue
             for cls in groups:
-                for P in TILE_BUCKETS:
-                    group = [s for s in cls if st.tile[s] == P]
-                    st.fit_group(group, newton_config, use_bg=True)
+                fit_class(cls)
             if checkpoint_path:
                 st.save(checkpoint_path, cursor=step)
     if restart_final:
         for groups in sweeps:
             for cls in groups:
-                for P in TILE_BUCKETS:
-                    group = [s for s in cls if st.tile[s] == P]
-                    st.fit_group(group, newton_config, use_bg=True,
-                                 fresh_init=True, keep_better=True)
+                fit_class(cls, fresh_init=True, keep_better=True)
     telemetry.counters.report("joint infer")
     return _collect_results(st)
 
@@ -467,9 +505,12 @@ def one_node_single_infer(catalog, images, target_sources=None,
     # reference's per-source ElboArgs construction: snapshot first.
     vps0 = st.vps.copy()
     telemetry.counters.reset()
-    for P in TILE_BUCKETS:
-        group = [s for s in st.targets if st.tile[s] == P]
-        st.fit_group(group, newton_config, use_bg=True, bg_vps=vps0)
+    # every fit reads only the vps0 snapshot — all buckets can be in flight
+    pend = [st.dispatch_group([s for s in st.targets if st.tile[s] == P],
+                              newton_config, use_bg=True, bg_vps=vps0)
+            for P in TILE_BUCKETS]
+    for p in pend:
+        st.finish_group(p)
     telemetry.counters.report("single infer")
     return _collect_results(st)
 

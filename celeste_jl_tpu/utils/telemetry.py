@@ -56,21 +56,34 @@ class Counters:
 counters = Counters()
 
 
+def now():
+    return time.perf_counter()
+
+
+def record_launch_wall(t0, label=""):
+    """Account one batched device launch spanning dispatch -> results on
+    host. Launches of one conflict-free class overlap in flight, so the
+    per-launch walls overlap too: `launch_s` sums them (an upper bound on
+    device busy time, the same quantity the reference's per-batch thread
+    wall-times measure). Set CELESTE_LOG_LAUNCHES=1 to log each launch."""
+    import os
+    dt = time.perf_counter() - t0
+    counters.launches += 1
+    counters.launch_s += dt
+    if os.environ.get("CELESTE_LOG_LAUNCHES"):
+        from . import log as Log
+        Log.info(f"launch {label}: {dt:.2f}s")
+
+
 @contextmanager
 def launch_timer(label=""):
-    """Times one batched device launch into the global counters. Set
-    CELESTE_LOG_LAUNCHES=1 to log each launch's wall time (perf triage)."""
-    import os
-    t0 = time.perf_counter()
+    """Times one batched device launch into the global counters (the
+    context-manager form of record_launch_wall)."""
+    t0 = now()
     try:
         yield
     finally:
-        dt = time.perf_counter() - t0
-        counters.launches += 1
-        counters.launch_s += dt
-        if os.environ.get("CELESTE_LOG_LAUNCHES"):
-            from . import log as Log
-            Log.info(f"launch {label}: {dt:.2f}s")
+        record_launch_wall(t0, label)
 
 
 def record_fit_launch(n_real, n_padded, pixels_per_lane_real,
