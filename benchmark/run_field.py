@@ -10,8 +10,11 @@ against the truth. This is the BASELINE.md "one field end-to-end" config;
 Prints a JSON summary line and writes benchmark/field_results.md.
 
 Env: FIELD_SOURCES (default 128), FIELD_SIZE (default 512),
-FIELD_SEED (default 7). Runs on whatever backend JAX picks (the real TPU
-chip under axon; force JAX_PLATFORMS=cpu for a CPU run).
+FIELD_SEED (default 7), FIELD_BATCH_SIZE (set to a Cyclades batch size to
+run the reference's batch/wave schedule instead of the fused coloring
+schedule; CELESTE_FUSED=0 for the host-driven coloring schedule). Runs on
+whatever backend JAX picks (the real TPU chip under axon; force
+JAX_PLATFORMS=cpu for a CPU run).
 """
 
 import json
@@ -66,50 +69,68 @@ def main():
         gen_images(images, truth, seed=seed)
         return images, truth
 
-    walls = []
+    def score(results, truth):
+        """Match recovered sources to truth by position (identity WCS: px
+        units) and score type/flux accuracy."""
+        from scipy.spatial import cKDTree
+        tpos = np.array([t.pos for t in truth])
+        rpos = np.array([r.init_pos for r in results])
+        dist, nearest = cKDTree(tpos).query(rpos, k=1)
+        matched = dist < 2.0
+        type_ok = 0
+        errs = []
+        for r, t_i, m in zip(results, nearest, matched):
+            if not m:
+                continue
+            t = truth[t_i]
+            p_star = r.vs[ids.is_star[0]]
+            type_ok += int((p_star > 0.5) == t.is_star)
+            tf = (t.star_fluxes if t.is_star else t.gal_fluxes)[2]
+            j = 0 if p_star > 0.5 else 1
+            f = float(np.exp(r.vs[ids.flux_loc[j]]
+                             + 0.5 * r.vs[ids.flux_scale[j]]))
+            errs.append(abs(f - tf) / tf)
+        n_match = int(matched.sum())
+        return n_match, type_ok / max(n_match, 1), errs
+
+    walls, accs, all_errs, n_det, n_match = [], [], [], 0, 0
     for rep in range(REPEAT):
         images, truth = make_field(SEED + 1000 * rep)
         t0 = time.time()
-        results = infer_box(images, method="joint_vi", config=Config(),
-                            thresh=6.0, boxsize=(SIZE, SIZE),
-                            match_radius_deg=1.0)
+        bs = os.environ.get("FIELD_BATCH_SIZE")
+        if bs:
+            from celeste_jl_tpu.detection.detect import detect_sources
+            from celeste_jl_tpu.parallel.run import one_node_joint_infer
+            catalog, _ = detect_sources(images, thresh=6.0,
+                                        boxsize=(SIZE, SIZE),
+                                        match_radius_deg=1.0)
+            results = one_node_joint_infer(catalog, images, config=Config(),
+                                           batch_size=int(bs))
+        else:
+            results = infer_box(images, method="joint_vi", config=Config(),
+                                thresh=6.0, boxsize=(SIZE, SIZE),
+                                match_radius_deg=1.0)
         walls.append(time.time() - t0)
+        nm, acc, errs = score(results, truth)
+        n_det += len(results)
+        n_match += nm
+        accs.append(acc)
+        all_errs.extend(errs)
     wall = walls[-1]
-
-    # match recovered sources to truth by position (identity WCS: px units)
-    tpos = np.array([t.pos for t in truth])
-    rpos = np.array([r.init_pos for r in results])
-    from scipy.spatial import cKDTree
-    tree = cKDTree(tpos)
-    dist, nearest = tree.query(rpos, k=1)
-    matched = dist < 2.0
-    n_match = int(matched.sum())
-
-    type_ok = flux_errs = 0
-    errs = []
-    for r, t_i, m in zip(results, nearest, matched):
-        if not m:
-            continue
-        t = truth[t_i]
-        p_star = r.vs[ids.is_star[0]]
-        type_ok += int((p_star > 0.5) == t.is_star)
-        tf = (t.star_fluxes if t.is_star else t.gal_fluxes)[2]
-        j = 0 if p_star > 0.5 else 1
-        f = float(np.exp(r.vs[ids.flux_loc[j]]
-                         + 0.5 * r.vs[ids.flux_scale[j]]))
-        errs.append(abs(f - tf) / tf)
 
     import jax
     out = {
         "metric": "field_e2e_sources_per_sec",
         "value": round(len(results) / wall, 2),
         "unit": "sources/s",
-        "n_true": N_SOURCES,
-        "n_detected": len(results),
+        "n_true": N_SOURCES * REPEAT,
+        "n_detected": n_det,
         "n_matched": n_match,
-        "completeness": round(n_match / N_SOURCES, 3),
-        "type_accuracy": round(type_ok / max(n_match, 1), 3),
-        "median_flux_relerr": round(float(np.median(errs)), 4) if errs else None,
+        "completeness": round(n_match / (N_SOURCES * REPEAT), 3),
+        "type_accuracy": round(float(np.mean(accs)), 3),
+        "type_accuracy_per_field": [round(a, 3) for a in accs],
+        "median_flux_relerr": (round(float(np.median(all_errs)), 4)
+                               if all_errs else None),
         "wall_s": round(wall, 1),
         "backend": jax.default_backend(),
         "walls_per_field_s": [round(w, 1) for w in walls],

@@ -30,7 +30,8 @@ from ..utils import telemetry
 from ..utils.config import Config
 from ..vi.elbo import source_moment_grids
 from ..vi.init import catalog_init_source, generic_init_source
-from ..vi.optimize import fit_sources, fit_sources_compacted
+from ..vi.optimize import (FitResult, fit_sources,
+                           fit_sources_compacted, maximize)
 from .partition import partition_cyclades_dynamic
 
 TILE_BUCKETS = (16, 32, 64, 128)
@@ -173,15 +174,18 @@ class InferenceState:
         self.converged = np.zeros(S, dtype=bool)
         self.iters = np.zeros(S, dtype=np.int64)
 
-    def patch(self, s):
-        """Per-source SkyPatch, built on first use and cached."""
-        if s not in self._patches:
+    def patch(self, s, tile=None):
+        """Per-source SkyPatch, built on first use and cached. `tile`
+        overrides the source's bucket tile size (the fused joint schedule
+        stages every class at one shared tile)."""
+        tile = int(self.tile[s]) if tile is None else int(tile)
+        key = (s, tile)
+        if key not in self._patches:
             p = make_patch_for_source(self.images, self.catalog[s].pos,
-                                      radius=self.radii[s],
-                                      tile_size=int(self.tile[s]))
-            self._patches[s] = p
-            self._pixel_counts[s] = int(np.asarray(p.mask).sum())
-        return self._patches[s]
+                                      radius=self.radii[s], tile_size=tile)
+            self._patches[key] = p
+            self._pixel_counts[key] = int(np.asarray(p.mask).sum())
+        return self._patches[key]
 
     def stacked_patches(self, idx_p):
         """Device-stacked SkyPatch for a padded group, cached across
@@ -190,7 +194,8 @@ class InferenceState:
         key = tuple(idx_p)
         if key not in self._stacked:
             patches = stack_patches([self.patch(s) for s in idx_p])
-            counts = np.array([self._pixel_counts[s] for s in idx_p])
+            counts = np.array([self._pixel_counts[(s, int(self.tile[s]))]
+                               for s in idx_p])
             self._stacked[key] = (patches, counts)
         return self._stacked[key]
 
@@ -327,6 +332,190 @@ class InferenceState:
             fresh_init=fresh_init, keep_better=keep_better))
 
 
+@partial(jax.jit, static_argnames=("n_sweeps", "n_restart", "config", "mesh"))
+def _fused_joint_program(vps, elbos, conv, iters, patches, c_real, lane_src,
+                         lane_pat, lane_valid, nb_idx, nb_mask, fresh_vp0,
+                         pix_counts, n_sweeps, n_restart,
+                         config: NewtonConfig, mesh=None):
+    """The ENTIRE joint-VI schedule as one XLA program.
+
+    The host-driven schedule pays one device round trip per (sweep, color
+    class) launch — measured ~0.2-0.45 s each over a tunneled TPU, 28
+    launches ≈ 8 s for a 128-source field whose actual fit compute is ~1 s.
+    Here the schedule runs as a `lax.fori_loop` over c_real * (n_sweeps +
+    n_restart) steps with the variational parameters RESIDENT on device:
+    step -> class c = step % c_real, gather that class's lanes (patch rows
+    and neighbor vps), render the neighbor background in-graph, run the
+    batched Newton fit, scatter results back. Serial equivalence (each fit
+    sees the freshest conflicting neighbors, partition.jl:85-236) is
+    preserved exactly — the loop body IS the per-class launch, just without
+    the host in the middle.
+
+    Shapes (static → compile keys): vps (S_pad, 44); patch leaves
+    (T_pad, B, ...) — ONE row per unique target source, gathered per lane;
+    per-class tensors lead with (C, W): lane_src (global catalog id, for
+    the vps scatter), lane_pat (patch row), lane_valid, nb_idx/nb_mask
+    (C, W, NB), fresh_vp0 (C, W, 44), pix_counts (C, W) f32. C is padded
+    to a power of two for compile-cache stability, but the loop bound is
+    the TRACED c_real — padding classes never execute.
+
+    Scatter consistency with duplicate lanes: padded lanes duplicate a real
+    lane of the same class, so their fit outputs are bit-identical to that
+    lane's — duplicate-index `.set` scatters write one consistent value.
+    Per-lane validity only gates the additive counters.
+
+    restart steps (step >= c_real*n_sweeps): fit from the fresh generic
+    init against the converged neighbor background and keep the better
+    ELBO (see one_node_joint_infer restart_final).
+
+    Returns (vps, elbos, conv, iters, real_visits, total_visits,
+    real_iters) — the last three are telemetry scalars (mask-true
+    pixel-visits, total padded pixel-visits, Newton iterations on real
+    lanes)."""
+    lane_total = float(np.prod(patches.mask.shape[1:]))
+    n_steps = c_real * (n_sweeps + n_restart)
+    f32 = jnp.zeros((), jnp.promote_types(pix_counts.dtype, jnp.float32))
+
+    def body(step, carry):
+        vps, elbos, conv, iters, rv, tv, ri = carry
+        c = step % c_real
+        is_restart = step >= c_real * n_sweeps
+        take = lambda t: jax.lax.dynamic_index_in_dim(t, c, keepdims=False)
+        src = take(lane_src)
+        pc = jax.tree.map(lambda t: t[take(lane_pat)], patches)
+        vm = take(lane_valid)
+        nbi, nbm = take(nb_idx), take(nb_mask)
+        fv0, cnt = take(fresh_vp0), take(pix_counts)
+
+        vp0 = jnp.where(is_restart, fv0, vps[src])
+        if mesh is None:
+            bg_E, bg_V = _render_neighbor_bg(vps[nbi], nbm, pc)
+            res = jax.vmap(lambda v, p, bE, bV: maximize(
+                v, p, bE, bV, config=config))(vp0, pc, bg_E, bg_V)
+        else:
+            # Multi-chip: the class's W lanes are conflict-free, so shard
+            # them over the mesh's src axis — each chip renders its lanes'
+            # neighbor backgrounds from the replicated vps and runs its
+            # slice of the batched Newton fit; no collectives inside a
+            # step, results re-assemble as a global (W, ...) array for the
+            # (replicated) scatter. The reference's analog is threads over
+            # a Cyclades batch (ParallelRun.jl:302-369); here the "threads"
+            # are chips on ICI.
+            from jax.sharding import PartitionSpec as PS
+
+            from .mesh import SRC_AXIS
+
+            lane = PS(SRC_AXIS)
+            res = jax.shard_map(
+                lambda vps_r, nbi_l, nbm_l, pc_l, vp0_l: jax.vmap(
+                    lambda v, p, bE, bV: maximize(v, p, bE, bV,
+                                                  config=config))(
+                    vp0_l, pc_l,
+                    *_render_neighbor_bg(vps_r[nbi_l], nbm_l, pc_l)),
+                mesh=mesh,
+                in_specs=(PS(), lane, lane,
+                          jax.tree.map(lambda _: lane, pc), lane),
+                out_specs=FitResult(vp=lane, elbo=lane, iters=lane,
+                                    f_calls=lane, converged=lane,
+                                    delta=lane, free=lane),
+                check_vma=False)(vps, nbi, nbm, pc, vp0)
+
+        accept = jnp.logical_not(is_restart) | (res.elbo > elbos[src])
+        pick = lambda new, old: jnp.where(
+            accept[:, None] if new.ndim == 2 else accept, new, old)
+        vps = vps.at[src].set(pick(res.vp, vps[src]))
+        elbos = elbos.at[src].set(pick(res.elbo, elbos[src]))
+        conv = conv.at[src].set(pick(res.converged, conv[src]))
+        real = vm > 0
+        iters = iters.at[src].add(jnp.where(real, res.iters, 0))
+        fc = res.f_calls.astype(cnt.dtype)
+        rv = rv + jnp.sum(jnp.where(real, cnt * fc, 0.0))
+        tv = tv + lane_total * jnp.sum(fc)
+        ri = ri + jnp.sum(jnp.where(real, res.iters, 0)).astype(rv.dtype)
+        return (vps, elbos, conv, iters, rv, tv, ri)
+
+    return jax.lax.fori_loop(
+        0, n_steps, body, (vps, elbos, conv, iters, f32, f32, f32))
+
+
+def _fused_joint_run(st: "InferenceState", classes, newton_config,
+                     n_sweeps, n_restart, mesh=None):
+    """Host staging for _fused_joint_program: pad classes to one (C, W)
+    lane grid at one shared tile size, upload each unique target patch
+    once, run the whole schedule in a single launch, apply the results.
+    Returns False if the staging would not fit device memory (caller falls
+    back to the host-driven loop)."""
+    targets = st.targets
+    P = int(max(st.tile[s] for s in targets))
+    W = max(32 if len(targets) >= 32 else _next_pow2(len(targets)),
+            _next_pow2(max(len(c) for c in classes)))
+    if mesh is not None:
+        from .mesh import SRC_AXIS
+        W = max(W, _next_pow2(mesh.shape[SRC_AXIS]))
+    C = _next_pow2(len(classes))
+    S_pad = _next_pow2(len(st.catalog))
+    B = len(st.images)
+    uniq = sorted({s for cls in classes for s in cls})
+    T_pad = _next_pow2(len(uniq))
+    est_bytes = T_pad * B * P * P * 4 * 4
+    if est_bytes > 4 << 30:
+        Log.info(f"fused joint: staging ~{est_bytes >> 20} MiB exceeds the "
+                 "budget; using the host-driven schedule")
+        return False
+    pat_row = {s: i for i, s in enumerate(uniq)}
+
+    lanes = []
+    for cls in classes:
+        lanes.append(list(cls) + [cls[0]] * (W - len(cls)))
+    for _ in range(C - len(classes)):
+        lanes.append(lanes[0])
+    lane_src = np.asarray(lanes, dtype=np.int32)
+    lane_pat = np.asarray([[pat_row[s] for s in row] for row in lanes],
+                          dtype=np.int32)
+    lane_valid = np.zeros((C, W), dtype=np.float32)
+    for i, cls in enumerate(classes):
+        lane_valid[i, :len(cls)] = 1.0
+
+    pad_rows = [uniq[0]] * (T_pad - len(uniq))
+    stacked = stack_patches([st.patch(s, tile=P) for s in uniq + pad_rows])
+    pix_counts = np.asarray(
+        [[st._pixel_counts[(s, P)] for s in row] for row in lanes],
+        dtype=np.float32)
+    fresh_vp0 = np.asarray(
+        [[generic_init_source(st.catalog[s].pos) for s in row]
+         for row in lanes])
+
+    vps = np.zeros((S_pad, 44), dtype=st.vps.dtype)
+    vps[:len(st.catalog)] = st.vps
+    elbos = np.full(S_pad, -np.inf, dtype=np.float64)
+    elbos[:len(st.catalog)] = st.elbos
+    convs = np.zeros(S_pad, dtype=bool)
+    convs[:len(st.catalog)] = st.converged
+
+    with telemetry.launch_timer(
+            f"fused C={len(classes)}/{C} W={W} P={P} "
+            f"steps={len(classes) * (n_sweeps + n_restart)}"):
+        out = _fused_joint_program(
+            jnp.asarray(vps), jnp.asarray(elbos), jnp.asarray(convs),
+            jnp.zeros(S_pad, jnp.int32), stacked,
+            jnp.asarray(len(classes), jnp.int32), lane_src, lane_pat,
+            lane_valid, st.nb_idx[lane_src], st.nb_mask[lane_src],
+            fresh_vp0, pix_counts, n_sweeps=n_sweeps, n_restart=n_restart,
+            config=newton_config, mesh=mesh)
+        out = jax.block_until_ready(out)
+    vps_o, elbos_o, conv_o, iters_o, rv, tv, ri = out
+    S = len(st.catalog)
+    st.vps = np.asarray(vps_o)[:S]
+    st.elbos = np.asarray(elbos_o)[:S]
+    st.converged = np.asarray(conv_o)[:S]
+    st.iters += np.asarray(iters_o)[:S]
+    telemetry.counters.sources_fit += len(targets) * (n_sweeps + n_restart)
+    telemetry.counters.newton_iters += int(ri)
+    telemetry.counters.pixel_visits += int(rv)
+    telemetry.counters.padded_visits += int(max(float(tv) - float(rv), 0.0))
+    return True
+
+
 def _waves(components):
     """Round-robin the sources of each connected component: wave w = the
     w-th source of every CC. No two sources in a wave conflict."""
@@ -411,11 +600,65 @@ def color_classes(targets, neighbor_map, rng=None, tile=None):
     return classes
 
 
+def fused_color_classes(targets, neighbor_map, rng=None):
+    """Conflict-free classes minimizing the fused program's device cost.
+
+    The fused schedule's cost per pass is k * W lane-steps, W =
+    next_pow2(max class size) (floored at 32 for compile-cache stability):
+    every class is padded to the same width and every lane runs a full
+    Newton fit. color_classes minimizes the number of classes (~max degree
+    + 1) and balances within it, but fewer classes is NOT cheaper once the
+    max class pads up a power of two. Here: for each candidate class count
+    k from 1 up, try a width-capped greedy coloring (cap = the k-class
+    power-of-two width) with a few shuffle retries, and keep the feasible
+    k with the smallest k * W_k. Sparse sky overlap graphs (mean degree
+    ~2-3) routinely admit k below max-degree+1 when classes may hold any
+    non-conflicting source up to the cap — measured on the 128-source
+    field benchmark: 6 classes of <=24 (8 * 32 = 256 padded lane-steps per
+    pass) -> 4 classes of 32 (128 lane-steps)."""
+    rng = rng or np.random.default_rng(42)
+    n = len(targets)
+    floor = min(32, _next_pow2(max(n, 1)))
+
+    def width(k):
+        return max(floor, _next_pow2(-(-n // k)))
+
+    def try_capped(k, cap):
+        for _ in range(4):
+            order = list(targets)
+            rng.shuffle(order)
+            order.sort(key=lambda s: -len(neighbor_map.get(s, ())))
+            classes = [[] for _ in range(k)]
+            members = [set() for _ in range(k)]
+            ok = True
+            for s in order:
+                nbs = neighbor_map.get(s, ())
+                cands = [c for c in range(k)
+                         if len(classes[c]) < cap
+                         and not any(nb in members[c] for nb in nbs)]
+                if not cands:
+                    ok = False
+                    break
+                c = min(cands, key=lambda c: len(classes[c]))
+                classes[c].append(s)
+                members[c].add(s)
+            if ok:
+                return [c for c in classes if c]
+        return None
+
+    ks = sorted(range(1, n + 1), key=lambda k: (k * width(k), k))
+    for k in ks:
+        classes = try_capped(k, width(k))
+        if classes is not None:
+            return classes
+    return color_classes(targets, neighbor_map, rng)  # unreachable fallback
+
+
 def one_node_joint_infer(catalog, images, target_sources=None,
                          config=Config(), batch_size=None,
                          newton_config=NewtonConfig(), max_neighbors=8,
                          seed=42, state=None, checkpoint_path=None,
-                         restart_final=True):
+                         restart_final=True, mesh=None):
     """Joint VI over all targets: num_joint_vi_iters sweeps over
     conflict-free classes of the overlap graph, each class one batched
     launch with neighbors as freshest-vp background. The schedule is a
@@ -463,6 +706,39 @@ def one_node_joint_infer(catalog, images, target_sources=None,
     if checkpoint_path and os.path.exists(checkpoint_path):
         cursor = st.restore(checkpoint_path)
         Log.info(f"joint infer: resuming at step {cursor}")
+
+    # Fused schedule (the TPU default): the whole sweep/restart schedule is
+    # one device launch (_fused_joint_program) instead of one launch per
+    # (sweep, class, tile bucket) — identical update order, no per-launch
+    # host round trips. The host-driven loop below remains for Cyclades
+    # scheduling (batch_size), mid-box checkpointing, oversized stagings,
+    # and CELESTE_FUSED=0.
+    if (batch_size is None and not checkpoint_path and targets
+            and os.environ.get("CELESTE_FUSED", "1") != "0"):
+        telemetry.counters.reset()
+        try:
+            # Default schedule = the same balanced color classes the host
+            # path runs. The width-capped packer (fused_color_classes)
+            # trades schedule granularity for ~15-25% fewer lane-steps —
+            # wider classes mean fewer Gauss-Seidel stages per sweep, and
+            # the staler in-sweep neighbor backgrounds measurably cost
+            # star/galaxy type accuracy on crowded fields (0.92 -> 0.896
+            # on the 128-source field benchmark), so it is opt-in.
+            if os.environ.get("CELESTE_FUSED_PACK", "") not in ("", "0"):
+                fused_cls = fused_color_classes(targets, nb_for_targets,
+                                                np.random.default_rng(seed))
+            else:
+                fused_cls = sweeps[0]
+            if _fused_joint_run(st, fused_cls, newton_config,
+                                n_sweeps=config.num_joint_vi_iters,
+                                n_restart=1 if restart_final else 0,
+                                mesh=mesh):
+                telemetry.counters.report("joint infer (fused)")
+                return _collect_results(st)
+        except Exception as exc:
+            if not is_production_run():
+                raise
+            Log.exception(exc)
 
     def fit_class(cls, **kw):
         # The tile-bucket groups of one class are mutually conflict-free:

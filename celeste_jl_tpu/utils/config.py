@@ -16,25 +16,52 @@ class Config:
 
 
 def host_cache_tag():
-    """Short tag identifying this host's CPU feature set. XLA:CPU caches
-    AOT-compiled executables keyed only by program; loading one compiled on
-    a host with different vector extensions aborts the process mid-
-    deserialization (observed as SIGABRT in compilation_cache
-    get_executable_and_time after a machine migration). Keying the cache
-    directory by CPU flags makes a host change start a fresh cache instead
-    of crashing on the stale one."""
+    """Short tag identifying this host's CPU. XLA:CPU caches AOT-compiled
+    executables keyed only by program; loading one compiled on a different
+    host aborts the process mid-deserialization (SIGABRT in
+    compilation_cache get_executable_and_time after a machine migration).
+    The tag must include the CPU MODEL, not just the /proc/cpuinfo flags
+    line: LLVM picks per-model tuning features (e.g. prefer-no-gather on
+    Downfall-mitigated parts) that differ between hosts whose flag lists
+    are identical — observed as a cpu_aot_loader feature-mismatch abort
+    with matching flags. Keying the cache directory by (model, flags)
+    makes a host change start a fresh cache instead of crashing."""
     import hashlib
 
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:8]
+                key = line.split(":")[0].strip()
+                if key in ("vendor_id", "cpu family", "model", "model name",
+                           "stepping", "microcode", "flags"):
+                    ident.append(line.strip())
+                if key == "flags":
+                    break  # one physical package is enough
     except OSError:
-        pass
-    import platform
+        import platform
 
-    return hashlib.md5(platform.processor().encode()).hexdigest()[:8]
+        ident.append(platform.processor())
+    import jaxlib
+
+    ident.append(getattr(jaxlib, "__version__", ""))
+    # Separate dirs per JAX platform: a TPU-backend process and a CPU test
+    # process sharing one directory has produced SIGSEGV/SIGABRT on
+    # concurrent reads (observed only with an axon-backend writer active;
+    # every single-process run of the same programs loads cleanly). Read
+    # the configured platform WITHOUT initializing the backend.
+    import os
+
+    import jax
+
+    platform = (str(getattr(jax.config, "jax_platforms", None) or "")
+                or os.environ.get("JAX_PLATFORMS", "") or "auto")
+    ident.append(platform)
+    # ISA-capped executables (see enable_compile_cache) must not share a
+    # directory with uncapped ones.
+    if "xla_cpu_max_isa" in os.environ.get("XLA_FLAGS", ""):
+        ident.append(os.environ["XLA_FLAGS"])
+    return hashlib.md5("\n".join(ident).encode()).hexdigest()[:8]
 
 
 def enable_compile_cache(path=None):
@@ -42,10 +69,21 @@ def enable_compile_cache(path=None):
     compile cold (one per (batch, tile) shape) but milliseconds to run —
     a fresh process without the cache spends ~97% of a field's wall time
     recompiling launches measured at 0.03-0.45 s warm. Call this before
-    any jit; main() and the benchmark drivers do."""
+    any jit; main() and the benchmark drivers do.
+
+    Also caps XLA:CPU codegen at AVX2 (before backend init): this
+    jaxlib's CPU AOT loader rejects — and sometimes SIGSEGVs on — cache
+    entries carrying per-model tuning pseudo-features
+    (prefer-no-gather/scatter), including the process's OWN writes.
+    AVX2-capped executables round-trip cleanly and are portable across
+    the fleet's hosts. TPU codegen is unaffected by the flag."""
     import os
 
     import jax
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_max_isa=AVX2").strip()
 
     try:
         jax.config.update(

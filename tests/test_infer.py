@@ -91,6 +91,25 @@ def test_single_infer_targets_subset():
     assert abs(flux - 30.0) / 30.0 < 0.2
 
 
+def test_fused_schedule_matches_host_schedule(monkeypatch):
+    """The fused single-launch joint schedule (_fused_joint_program) must
+    reproduce the host-driven per-class launch schedule BIT-EXACTLY when
+    both run the same class schedule: same freshest-neighbor backgrounds,
+    same restart acceptance, same update order. (With their own planners
+    the two paths run different — equally conflict-safe — Gauss-Seidel
+    orders and may settle different basins on multimodal sources.)"""
+    images, truth = _three_overlapping()
+    res_fused = one_node_joint_infer(truth, images, config=CFG,
+                                     newton_config=NEWTON, seed=42)
+    monkeypatch.setenv("CELESTE_FUSED", "0")
+    res_host = one_node_joint_infer(truth, images, config=CFG,
+                                    newton_config=NEWTON, seed=42)
+    for rf, rh in zip(res_fused, res_host):
+        assert np.max(np.abs(rf.vs - rh.vs)) < 1e-8, (rf.vs, rh.vs)
+        assert abs(rf.elbo - rh.elbo) <= 1e-8 * max(1.0, abs(rh.elbo))
+        assert rf.converged == rh.converged
+
+
 def test_joint_restart_pass_escapes_stale_background_basin():
     """The final fresh-init restart pass (one_node_joint_infer
     restart_final) must classify two equal overlapping stars correctly —

@@ -68,3 +68,31 @@ def test_padding_of_ragged_source_counts(star_batch):
     out = fit_sources_sharded(vp0s, patches, mesh, config=CFG)
     assert out.vp.shape == (3, 44)
     assert np.all(np.isfinite(np.asarray(out.elbo)))
+
+
+def test_fused_joint_schedule_on_mesh():
+    """The fused joint-VI schedule with its per-class fit sharded over the
+    mesh's src axis must agree with the single-device fused schedule —
+    lanes of a class are conflict-free, so sharding them is pure data
+    parallelism (the chip analog of the reference's threads over a
+    Cyclades batch, ParallelRun.jl:302-369)."""
+    from celeste_jl_tpu.parallel.run import one_node_joint_infer
+    from celeste_jl_tpu.synthetic import sample_galaxy
+    from celeste_jl_tpu.utils.config import Config
+
+    images = make_blank_images(H=50, W=50, sky_nmgy=0.05,
+                               nelec_per_nmgy=2000.0)
+    truth = [sample_star(pos=(22.0, 22.0), r_flux=20.0),
+             sample_star(pos=(25.0, 26.0), r_flux=30.0),
+             sample_galaxy(pos=(30.0, 22.0), r_flux=25.0, gal_radius_px=1.0)]
+    gen_images(images, truth, seed=11)
+    cfg = Config(num_joint_vi_iters=2)
+    newton = NewtonConfig(max_iters=20)
+    mesh = make_mesh(n_src=8, n_pix=1)
+    res_mesh = one_node_joint_infer(truth, images, config=cfg,
+                                    newton_config=newton, mesh=mesh, seed=42)
+    res_one = one_node_joint_infer(truth, images, config=cfg,
+                                   newton_config=newton, seed=42)
+    for rm, r1 in zip(res_mesh, res_one):
+        np.testing.assert_allclose(rm.vs, r1.vs, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(rm.elbo, r1.elbo, rtol=1e-6)
