@@ -70,3 +70,39 @@ def test_gzip_and_bytes(tmp_path):
     # in-memory bytes (slurp mode, SDSSIO.jl:651-669)
     np.testing.assert_array_equal(open_fits(raw)[0].data, img)
     np.testing.assert_array_equal(open_fits(gzip.compress(raw))[0].data, img)
+
+
+def test_results_to_fits_catalog(tmp_path):
+    """tools/results_to_fits.py: per-box npz results round-trip into one
+    FITS bintable catalog (optimized_sources_to_fits.jl parity)."""
+    import sys
+
+    import numpy as np
+
+    from celeste_jl_tpu.io.dataset import BoundingBox
+    from celeste_jl_tpu.io.fits import open_fits
+    from celeste_jl_tpu.main import save_results
+    from celeste_jl_tpu.parallel.run import OptimizedSource
+    from celeste_jl_tpu.vi.init import generic_init_source
+
+    results = [OptimizedSource(init_pos=np.array([10.0 + i, 20.0]),
+                               vs=generic_init_source((10.0 + i, 20.0)),
+                               elbo=-100.0 - i, converged=True,
+                               is_sky_bad=(i == 2))
+               for i in range(3)]
+    fname = save_results(str(tmp_path), BoundingBox(9, 12, 19, 21), results)
+
+    sys.path.insert(0, "tools")
+    try:
+        from results_to_fits import results_to_fits
+    finally:
+        sys.path.pop(0)
+    out = str(tmp_path / "catalog.fits")
+    n = results_to_fits([fname], out)
+    assert n == 2  # the bad-sky row is dropped
+
+    hdus = open_fits(out)
+    cat = hdus[1].data
+    assert len(cat["ra"]) == 2
+    assert set(cat) >= {"ra", "dec", "is_star", "flux_r_nmgy", "elbo",
+                        "converged", "gal_axis_ratio"}
