@@ -717,14 +717,17 @@ def one_node_joint_infer(catalog, images, target_sources=None,
             and os.environ.get("CELESTE_FUSED", "1") != "0"):
         telemetry.counters.reset()
         try:
-            # Default schedule = the same balanced color classes the host
-            # path runs. The width-capped packer (fused_color_classes)
-            # trades schedule granularity for ~15-25% fewer lane-steps —
-            # wider classes mean fewer Gauss-Seidel stages per sweep, and
-            # the staler in-sweep neighbor backgrounds measurably cost
-            # star/galaxy type accuracy on crowded fields (0.92 -> 0.896
-            # on the 128-source field benchmark), so it is opt-in.
-            if os.environ.get("CELESTE_FUSED_PACK", "") not in ("", "0"):
+            # Default schedule = the width-capped packer
+            # (fused_color_classes): ~15-25% fewer padded lane-steps than
+            # the balanced coloring. Wider classes mean fewer Gauss-Seidel
+            # stages per sweep; a 5-field A/B on the field benchmark
+            # measured this accuracy-NEUTRAL (mean type accuracy 0.911
+            # capped vs 0.908 balanced vs 0.910 reference-style Cyclades
+            # waves — field draw variance dominates, see
+            # benchmark/field_results.md). CELESTE_FUSED_PACK=0 restores
+            # the balanced host-path classes (also what the bit-exactness
+            # test pins).
+            if os.environ.get("CELESTE_FUSED_PACK", "1") not in ("0",):
                 fused_cls = fused_color_classes(targets, nb_for_targets,
                                                 np.random.default_rng(seed))
             else:

@@ -99,6 +99,7 @@ def test_fused_schedule_matches_host_schedule(monkeypatch):
     the two paths run different — equally conflict-safe — Gauss-Seidel
     orders and may settle different basins on multimodal sources.)"""
     images, truth = _three_overlapping()
+    monkeypatch.setenv("CELESTE_FUSED_PACK", "0")  # pin the host schedule
     res_fused = one_node_joint_infer(truth, images, config=CFG,
                                      newton_config=NEWTON, seed=42)
     monkeypatch.setenv("CELESTE_FUSED", "0")
