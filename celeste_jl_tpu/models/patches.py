@@ -115,6 +115,20 @@ def make_patch_for_source(images, world_pos, radius, tile_size):
 
 def stack_patches(patches):
     """Stack per-source SkyPatches into one with leading S axis, placed on
-    device — ONE transfer per field (9 total), however many sources."""
-    return SkyPatch(*[jnp.asarray(np.stack([getattr(p, f) for p in patches]))
-                      for f in SkyPatch._fields])
+    device — ONE transfer per field (9 total), however many sources.
+
+    Float fields are cast to the runtime float dtype on the HOST before the
+    upload: feeding f64 numpy through jnp.asarray with x64 off ships ~2.4x
+    the bytes/time over a tunneled TPU (measured 4.5 s vs 1.9 s for a
+    (512,5,64,64) tile stack) — staging uploads are the dominant non-device
+    cost of the fused joint schedule at field scale (benchmark/
+    field_results.md width-scaling study). Under x64 (the f64 test suite)
+    the cast is a no-op."""
+    target = jnp.result_type(float)
+    out = []
+    for f in SkyPatch._fields:
+        arr = np.stack([getattr(p, f) for p in patches])
+        if arr.dtype.kind == "f" and arr.dtype != target:
+            arr = arr.astype(target)
+        out.append(jnp.asarray(arr))
+    return SkyPatch(*out)
