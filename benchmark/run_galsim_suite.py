@@ -51,9 +51,23 @@ def main():
     truth_df, pred_df = run_benchmarks(names, joint_inference=args.joint)
     wall = time.time() - t0
 
-    # per-row error columns
+    # Field scores from the objid-aligned per-row error df. run_benchmarks
+    # returns row-aligned truth/prediction frames, so no position matching is
+    # needed — and none is done: round 1's artifact was invalidated by
+    # KDTree matching pairing truth rows with other scenes' predictions.
     err = ab.get_error_df(truth_df, pred_df)
-    scores = ab.score_predictions(truth_df, [pred_df])
+    scores = ab.get_scores_df(truth_df, err)
+
+    # Cross-check: now that every scene has a distinct world origin, the
+    # reference-style position-matched scoring must agree with the aligned
+    # scoring (same N per field). Disagreement means match contamination.
+    matched_scores = ab.score_predictions(truth_df, [pred_df])
+    aligned_n = dict(zip(scores["field"], scores["N"]))
+    for _, row in matched_scores.iterrows():
+        n0 = aligned_n.get(row["field"])
+        if n0 is not None and row["N"] != n0:
+            print(f"WARNING: matched-vs-aligned N mismatch for "
+                  f"{row['field']}: {row['N']} vs {n0}")
 
     csv_path = os.path.join(outdir, "galsim_results.csv")
     merged = truth_df[["objid", "is_star", "flux_r_nmgy", "gal_axis_ratio",
@@ -67,10 +81,16 @@ def main():
     # uncertainty calibration (within-k-sigma fractions; a calibrated
     # posterior gives ~0.38 / 0.68 / 0.95)
     try:
-        unc = ab.score_uncertainty(ab.get_uncertainty_df(truth_df, pred_df))
+        unc = ab.score_uncertainty(
+            ab.get_uncertainty_df(truth_df, pred_df, aligned=True))
     except Exception as exc:
         unc = None
         print("uncertainty scoring skipped:", exc)
+
+    # reference accuracy gate (disabled_test_galsim_benchmarks.jl:29-47)
+    from celeste_jl_tpu.benchmark.galsim import (estimate_violations,
+                                                 truth_comparison_df)
+    violations = estimate_violations(truth_comparison_df(truth_df, pred_df))
 
     md_path = os.path.join(outdir, "galsim_results.md")
     with open(md_path, "w") as f:
@@ -79,8 +99,14 @@ def main():
                 f"{'joint' if args.joint else 'single'} inference, "
                 f"CPU f64, {wall:.0f}s wall.\n\n")
         f.write("## Field scores (mean abs error over sources "
-                "with that field defined)\n\n")
+                "with that field defined; objid-aligned rows)\n\n")
         f.write(scores.to_markdown(index=False))
+        f.write(f"\n\nReference tolerance gate "
+                f"(disabled_test_galsim_benchmarks.jl): "
+                f"{len(violations)} violations"
+                + ("" if not violations else " — " + "; ".join(
+                    f"{o}.{v} truth={t:.3f} est={e:.3f}"
+                    for o, v, t, e, _ in violations[:20])) + "\n")
         if unc is not None:
             f.write("\n\n## Posterior uncertainty calibration "
                     "(fraction of errors within k posterior std errs; "
@@ -96,6 +122,9 @@ def main():
     flux_err = np.abs(pred_df["flux_r_nmgy"] - truth_df["flux_r_nmgy"]) \
         / truth_df["flux_r_nmgy"]
     print(f"scenes={len(names)} sources={len(truth_df)} wall={wall:.0f}s")
+    print(f"tolerance-gate violations: {len(violations)}")
+    for v in violations:
+        print("  VIOLATION:", v)
     print(f"type accuracy: {acc:.3f}")
     print(f"median rel flux err: {float(np.median(flux_err)):.4f}")
     print(f"wrote {md_path} and {csv_path}")

@@ -300,9 +300,16 @@ def score_predictions(truth, prediction_dfs,
 
 
 def get_uncertainty_df(truth, predictions,
-                       tol=SDSS_ARCSEC_PER_PIXEL / 3600.0):
+                       tol=SDSS_ARCSEC_PER_PIXEL / 3600.0, aligned=False):
+    """aligned=True: truth/prediction rows already correspond 1:1 (e.g. the
+    objid-keyed GalSim suite output) — skip position matching entirely."""
     assert_columns_are_present(predictions, STDERR_COLUMNS)
-    matched_truth, (pred,) = match_catalogs(truth, [predictions], tol=tol)
+    if aligned:
+        assert len(truth) == len(predictions)
+        matched_truth, pred = (truth.reset_index(drop=True),
+                               predictions.reset_index(drop=True))
+    else:
+        matched_truth, (pred,) = match_catalogs(truth, [predictions], tol=tol)
     valid = matched_truth["flux_r_nmgy"].to_numpy() > 0
     matched_truth = matched_truth[valid].reset_index(drop=True)
     pred = pred[valid].reset_index(drop=True)

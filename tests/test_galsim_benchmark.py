@@ -60,3 +60,69 @@ def test_scoring_over_multiple_scenes():
     pos = scores[scores["field"] == "position"].iloc[0]
     assert pos["N"] == 2
     assert pos["first"] < 0.5  # mean position error < half an SDSS pixel
+
+
+def test_scene_world_origins_are_disjoint():
+    """Every scene owns its own sky footprint: no truth source of one scene
+    may fall within 10x the 1-px match tolerance of another scene's sources.
+    Round 1 rendered all 28 scenes at the same world center, so KDTree
+    catalog matching paired truth rows with OTHER scenes' predictions and the
+    committed field-score artifact was meaningless."""
+    positions, scene_of = [], []
+    for s in SCENES:
+        for ce in scene_truth(s):
+            positions.append(ce.pos)
+            scene_of.append(s.name)
+    positions = np.array(positions)
+    tol = ab.SDSS_ARCSEC_PER_PIXEL / 3600.0
+    for i in range(len(positions)):
+        for j in range(i + 1, len(positions)):
+            if scene_of[i] != scene_of[j]:
+                sep = np.hypot(*(positions[i] - positions[j]))
+                assert sep > 10 * tol, (scene_of[i], scene_of[j], sep)
+
+
+def test_cross_scene_matching_regression():
+    """A star scene plus a same-flux galaxy scene: matched scoring must agree
+    with objid-aligned scoring. Under round 1's shared world center the
+    star's truth row KDTree-matched the galaxy's prediction (identical world
+    position), producing phantom missed_stars/missed_galaxies."""
+    truth_df, pred_df = run_benchmarks(
+        ["simple_star", "star_position_1", "galaxy_with_all",
+         "angle_and_axis_ratio_1"],
+        newton_config=NewtonConfig(max_iters=40))
+    # aligned scoring (cannot cross scenes, ground truth for the comparison)
+    aligned = ab.get_scores_df(truth_df, ab.get_error_df(truth_df, pred_df))
+    # position-matched scoring (the reference's path)
+    matched = ab.score_predictions(truth_df, [pred_df])
+    a = aligned.set_index("field")
+    m = matched.set_index("field")
+    assert set(a.index) == set(m.index)
+    for field in a.index:
+        assert m.loc[field, "N"] == a.loc[field, "N"], field
+        np.testing.assert_allclose(m.loc[field, "first"],
+                                   a.loc[field, "first"], atol=1e-12)
+    assert a.loc["missed_stars", "first"] == 0.0
+    assert a.loc["missed_galaxies", "first"] == 0.0
+
+
+def test_tolerance_gate_arithmetic():
+    import pandas as pd
+
+    from celeste_jl_tpu.benchmark.galsim import (estimate_violations,
+                                                 max_error_for)
+    assert max_error_for("is_star", 1.0) == 0.1
+    assert max_error_for("gal_angle_deg", 95.0) == 5.0
+    assert max_error_for("flux_r_nmgy", 40.0) == pytest.approx(8.0)
+    df = pd.DataFrame([
+        {"objid": "a", "variable": "is_star", "truth": 1.0,
+         "estimate": 0.95},                      # ok
+        {"objid": "a", "variable": "flux_r_nmgy", "truth": 40.0,
+         "estimate": 50.0},                      # 25% off -> violation
+        {"objid": "a", "variable": "gal_angle_deg", "truth": 1.0,
+         "estimate": 179.0},                     # wraps to 2 deg -> ok
+        {"objid": "a", "variable": "gal_radius_px", "truth": np.nan,
+         "estimate": 3.0},                       # NaN truth skipped
+    ])
+    bad = estimate_violations(df)
+    assert len(bad) == 1 and bad[0][1] == "flux_r_nmgy"
