@@ -170,6 +170,21 @@ class SDSSPSFMap:
         # flattened eigenimages are stored FITS-order; reshape column-major
         return stamp.reshape(self.rnrow, self.rncol, order="F")
 
+    def at(self, xs, ys):
+        """Vectorized evaluation at (S,) 1-based positions -> (S, rnrow,
+        rncol) stamps — one einsum for a whole catalog's patch centers
+        (SDSSIO.jl:239-298 evaluates per patch; batching is the TPU-era
+        host-staging equivalent)."""
+        xs = np.atleast_1d(np.asarray(xs, dtype=np.float64))
+        ys = np.atleast_1d(np.asarray(ys, dtype=np.float64))
+        ni, nj, nk = self.cmat.shape
+        xt = (self.RCS * (xs[:, None] - 1.0)) ** np.arange(ni)  # (S, ni)
+        yt = (self.RCS * (ys[:, None] - 1.0)) ** np.arange(nj)  # (S, nj)
+        w = np.einsum("si,sj,ijk->sk", xt, yt, self.cmat)       # (S, nk)
+        stamps = w @ self.rrows.T                                # (S, npix)
+        return stamps.reshape(-1, self.rncol, self.rnrow,
+                              ).transpose(0, 2, 1)
+
 
 def read_psfmap(hdus, band):
     """psField -> SDSSPSFMap for one band (SDSSIO.jl:310-338)."""

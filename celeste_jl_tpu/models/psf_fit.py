@@ -126,8 +126,9 @@ def fit_psfs_batched(stamps, K=2, config=NewtonConfig(max_iters=50)):
     return np.asarray(packed), np.asarray(errs)
 
 
-def trim_psf(raw_psf, trim_percent=0.999):
-    """Central square window holding trim_percent of |PSF| (PSF.jl:677-693)."""
+def trim_width(raw_psf, trim_percent=0.999):
+    """Half-width of the central square window holding trim_percent of |PSF|
+    (PSF.jl:677-693)."""
     raw_psf = np.asarray(raw_psf)
     h_mid = (raw_psf.shape[0] + 1) // 2 - 1
     w_mid = (raw_psf.shape[1] + 1) // 2 - 1
@@ -138,5 +139,76 @@ def trim_psf(raw_psf, trim_percent=0.999):
                       w_mid - width:w_mid + width + 1]
         if np.abs(win).sum() >= trim_percent * total or \
                 win.shape[0] >= min(raw_psf.shape):
-            return win.copy()
+            return width
         width += 1
+
+
+def trim_psf(raw_psf, trim_percent=0.999):
+    """Central square window holding trim_percent of |PSF| (PSF.jl:677-693)."""
+    raw_psf = np.asarray(raw_psf)
+    h_mid = (raw_psf.shape[0] + 1) // 2 - 1
+    w_mid = (raw_psf.shape[1] + 1) // 2 - 1
+    width = trim_width(raw_psf, trim_percent)
+    return raw_psf[h_mid - width:h_mid + width + 1,
+                   w_mid - width:w_mid + width + 1].copy()
+
+
+def _pad_components(packed, K_out):
+    """Pad a (K, 6) packed mixture to (K_out, 6) with zero-weight identity
+    components (alpha = 0 contributes nothing to the rendered mixture)."""
+    packed = np.asarray(packed, dtype=np.float64)
+    K = packed.shape[0]
+    if K >= K_out:
+        return packed[:K_out]
+    pad = np.zeros((K_out - K, 6))
+    pad[:, 3] = 1.0   # s11
+    pad[:, 5] = 1.0   # s22
+    return np.concatenate([packed, pad], axis=0)
+
+
+def fit_patch_psfs(images, positions, K=2,
+                   config=NewtonConfig(max_iters=50), trim_percent=0.999):
+    """Per-source, per-band local PSFs from each image's spatially-varying
+    psfmap: (S, B, K_out, 6) packed mixtures.
+
+    The reference evaluates the psField eigenimage-polynomial map at every
+    patch's pixel center and fits a K=2 GMM per patch
+    (model/imaged_sources.jl:97-107 + SDSSIO.jl:239-298). Here the stamps of
+    all S sources in one band are evaluated with one einsum
+    (SDSSPSFMap.at), trimmed to a COMMON window (the max per-stamp trim
+    width, so every stamp keeps >= trim_percent of its light) and fitted as
+    one vmapped Newton launch (fit_psfs_batched) — S fits per band instead
+    of the reference's per-patch loop.
+
+    Bands whose Image carries no ``meta['psfmap']`` fall back to the image's
+    global (field-center) PSF for every source. Mixed component counts are
+    reconciled by padding with zero-weight components.
+    """
+    positions = np.asarray(positions, dtype=np.float64)
+    S, B = len(positions), len(images)
+    per_band = []   # list of (S, K_b, 6)
+    for img in images:
+        psfmap = img.meta.get("psfmap") if img.meta else None
+        if psfmap is None:
+            per_band.append(np.broadcast_to(
+                np.asarray(img.psf, dtype=np.float64),
+                (S,) + np.shape(img.psf)).copy())
+            continue
+        centers = np.stack([np.asarray(img.world_to_pix(p), np.float64)
+                            for p in positions])   # (S, 2) 1-based
+        # psfmap is evaluated at (x=col-ish axis1, y=axis2) like the
+        # field-center fit in load_field_images (io/sdss.py:392-394)
+        stamps = psfmap.at(centers[:, 0], centers[:, 1])
+        width = max(trim_width(st, trim_percent) for st in stamps)
+        h_mid = (stamps.shape[1] + 1) // 2 - 1
+        w_mid = (stamps.shape[2] + 1) // 2 - 1
+        win = stamps[:, h_mid - width:h_mid + width + 1,
+                     w_mid - width:w_mid + width + 1]
+        packed, _ = fit_psfs_batched(win, K=K, config=config)
+        per_band.append(packed)
+    K_out = max(pb.shape[1] for pb in per_band)
+    out = np.zeros((S, B, K_out, 6))
+    for b, pb in enumerate(per_band):
+        for s in range(S):
+            out[s, b] = _pad_components(pb[s], K_out)
+    return out
