@@ -5,7 +5,9 @@ plus the local 2x2 Jacobian (model/wcs_utils.jl); SDSS frames use RA---TAN /
 DEC--TAN with a CD matrix, which this implements exactly in numpy.
 
 Conventions: `pix` is 1-based (FITS), ordered (axis1, axis2); `world` is
-(ra, dec) in degrees.
+(ra, dec) in degrees. Every transform is shape-polymorphic over a trailing
+axis of 2 — a (S, 2) batch of coordinates transforms in one call (the host
+staging path feeds whole catalogs at once; see models/patches.py).
 """
 
 import numpy as np
@@ -26,14 +28,18 @@ class LinearWCS:
 
     def pix_to_world(self, pix):
         pix = np.asarray(pix, dtype=np.float64)
-        return self.crval + self.cd @ (pix - self.crpix)
+        return self.crval + (pix - self.crpix) @ self.cd.T
 
     def world_to_pix(self, world):
         world = np.asarray(world, dtype=np.float64)
-        return self.crpix + self._cd_inv @ (world - self.crval)
+        return self.crpix + (world - self.crval) @ self._cd_inv.T
 
     def pixel_world_jacobian(self, pix):
-        return self._cd_inv.copy()
+        pix = np.asarray(pix)
+        if pix.ndim == 1:
+            return self._cd_inv.copy()
+        return np.broadcast_to(self._cd_inv,
+                               pix.shape[:-1] + (2, 2)).copy()
 
 
 class TanWCS:
@@ -55,18 +61,18 @@ class TanWCS:
 
     def pix_to_world(self, pix):
         pix = np.asarray(pix, dtype=np.float64)
-        uv = self.cd @ (pix - self.crpix)       # intermediate coords, deg
-        xi, eta = uv[0] * D2R, uv[1] * D2R      # radians
+        uv = (pix - self.crpix) @ self.cd.T     # intermediate coords, deg
+        xi, eta = uv[..., 0] * D2R, uv[..., 1] * D2R   # radians
         ra0, dec0 = self.crval * D2R
         denom = np.cos(dec0) - eta * np.sin(dec0)
         ra = ra0 + np.arctan2(xi, denom)
         dec = np.arctan2(np.sin(dec0) + eta * np.cos(dec0),
                          np.sqrt(xi ** 2 + denom ** 2))
-        return np.array([np.mod(ra * R2D, 360.0), dec * R2D])
+        return np.stack([np.mod(ra * R2D, 360.0), dec * R2D], axis=-1)
 
     def world_to_pix(self, world):
         world = np.asarray(world, dtype=np.float64)
-        ra, dec = world * D2R
+        ra, dec = world[..., 0] * D2R, world[..., 1] * D2R
         ra0, dec0 = self.crval * D2R
         dra = ra - ra0
         d = (np.sin(dec) * np.sin(dec0)
@@ -74,18 +80,22 @@ class TanWCS:
         xi = np.cos(dec) * np.sin(dra) / d
         eta = (np.sin(dec) * np.cos(dec0)
                - np.cos(dec) * np.sin(dec0) * np.cos(dra)) / d
-        uv = np.array([xi, eta]) * R2D
-        return self.crpix + self._cd_inv @ uv
+        uv = np.stack([xi, eta], axis=-1) * R2D
+        return self.crpix + uv @ self._cd_inv.T
 
     def pixel_world_jacobian(self, pix, pixel_delt=0.5):
         """Jacobian d(pixel)/d(world) by central differences at `pix`
-        (matches pixel_world_jacobian, model/wcs_utils.jl:36-51)."""
-        world = self.pix_to_world(np.asarray(pix, dtype=np.float64))
-        step = self.pix_to_world(np.asarray(pix) + pixel_delt) - world
-        wd = np.max(np.abs(step))
-        col1 = (self.world_to_pix(world + [wd, 0.0]) - pix) / wd
-        col2 = (self.world_to_pix(world + [0.0, wd]) - pix) / wd
-        return np.stack([col1, col2], axis=1)
+        (matches pixel_world_jacobian, model/wcs_utils.jl:36-51).
+        Shape-polymorphic: (..., 2) pix -> (..., 2, 2)."""
+        pix = np.asarray(pix, dtype=np.float64)
+        world = self.pix_to_world(pix)
+        step = self.pix_to_world(pix + pixel_delt) - world
+        wd = np.max(np.abs(step), axis=-1, keepdims=True)
+        e1 = np.concatenate([wd, np.zeros_like(wd)], axis=-1)
+        e2 = np.concatenate([np.zeros_like(wd), wd], axis=-1)
+        col1 = (self.world_to_pix(world + e1) - pix) / wd
+        col2 = (self.world_to_pix(world + e2) - pix) / wd
+        return np.stack([col1, col2], axis=-1)
 
 
 def wcs_from_header(hdr):

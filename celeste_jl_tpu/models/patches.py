@@ -48,13 +48,16 @@ def pixel_coord_grids(offset, P, dtype=jnp.float64):
     return x1, x2
 
 
-def make_patch_for_source(images, world_pos, radius, tile_size):
+def make_patch_for_source(images, world_pos, radius, tile_size, psf=None):
     """Build a SkyPatch (host-side, numpy) for one source.
 
     images: list of B Image objects (models/image.py).
     world_pos: (2,) world coordinates of the source.
     radius: active radius in pixels (active mask = box of this radius).
     tile_size: static P.
+    psf: optional (B, K, 6) per-band LOCAL PSF for this source (the
+        spatially-varying psfmap evaluated at the patch center,
+        model/imaged_sources.jl:97-107); default = each image's global PSF.
     """
     world_pos = np.asarray(world_pos, dtype=np.float64)
     B, P = len(images), tile_size
@@ -66,7 +69,9 @@ def make_patch_for_source(images, world_pos, radius, tile_size):
     jac = np.zeros((B, 2, 2), dtype=np.float64)
     wc = np.zeros((B, 2), dtype=np.float64)
     pc = np.zeros((B, 2), dtype=np.float64)
-    psf = np.stack([np.asarray(img.psf, dtype=np.float64) for img in images])
+    psf = (np.asarray(psf, dtype=np.float64) if psf is not None
+           else np.stack([np.asarray(img.psf, dtype=np.float64)
+                          for img in images]))
 
     for b, img in enumerate(images):
         H, W = img.pixels.shape
@@ -113,7 +118,83 @@ def make_patch_for_source(images, world_pos, radius, tile_size):
                     pixel_center=pc, psf=psf)
 
 
-def stack_patches(patches):
+def make_patches_batched(images, positions, radii, tile_size, psfs=None):
+    """Build SkyPatches for S sources with ONE vectorized gather per band.
+
+    Replaces S calls to make_patch_for_source (round 1's ~30 ms/source
+    Python staging loop, the field-scale bottleneck) with numpy fancy
+    indexing over the whole catalog: same outputs, O(S) work in C.
+
+    images: list of B Image objects; positions: (S, 2) world coords;
+    radii: (S,) active radii; tile_size: static P; psfs: optional
+    (S, B, K, 6) per-source local PSFs (see psf_fit.fit_patch_psfs).
+    Returns a list of S SkyPatch (numpy leaves, views into shared buffers).
+    """
+    positions = np.asarray(positions, dtype=np.float64)
+    radii = np.asarray(radii, dtype=np.float64)
+    S, B, P = len(positions), len(images), tile_size
+    pix = np.full((S, B, P, P), np.nan, dtype=np.float64)
+    mask = np.zeros((S, B, P, P), dtype=bool)
+    sky = np.zeros((S, B, P, P), dtype=np.float64)
+    iota = np.ones((S, B, P, P), dtype=np.float64)
+    offset = np.zeros((S, B, 2), dtype=np.int32)
+    jac = np.zeros((S, B, 2, 2), dtype=np.float64)
+    wc = np.broadcast_to(positions[:, None, :], (S, B, 2)).copy()
+    pc = np.zeros((S, B, 2), dtype=np.float64)
+    if psfs is not None:
+        psf = np.asarray(psfs, dtype=np.float64)
+    else:
+        psf = np.broadcast_to(
+            np.stack([np.asarray(img.psf, dtype=np.float64)
+                      for img in images]), (S, B) + np.shape(images[0].psf)
+        ).copy()
+
+    ar = np.arange(P)
+    for b, img in enumerate(images):
+        H, W = img.pixels.shape
+        ctr = np.asarray(img.world_to_pix(positions), dtype=np.float64)
+        off = np.round(ctr - 1.0 - (P - 1) / 2.0).astype(np.int64)  # (S, 2)
+        offset[:, b] = off
+        pc[:, b] = ctr
+        jac[:, b] = img.wcs_jacobian(ctr)
+
+        ii = off[:, 0:1] + ar[None, :]          # (S, P) 0-based rows
+        jj = off[:, 1:2] + ar[None, :]          # (S, P) 0-based cols
+        vi = (ii >= 0) & (ii < H)
+        vj = (jj >= 0) & (jj < W)
+        iic = np.clip(ii, 0, H - 1)
+        jjc = np.clip(jj, 0, W - 1)
+        valid = vi[:, :, None] & vj[:, None, :]  # (S, P, P)
+        gathered = img.pixels[iic[:, :, None], jjc[:, None, :]]
+        pix[:, b] = np.where(valid, gathered, np.nan)
+
+        s = img.sky
+        if np.ndim(s) == 2:
+            sky[:, b] = np.where(valid, s[iic[:, :, None], jjc[:, None, :]],
+                                 0.0)
+        else:
+            sky[:, b] = np.where(valid, s, 0.0)
+        io_ = img.nelec_per_nmgy
+        if np.ndim(io_) == 1:
+            iota[:, b] = np.where(valid, np.asarray(io_)[iic][:, :, None],
+                                  1.0)
+        else:
+            iota[:, b] = np.where(valid, io_, 1.0)
+
+        # active = in-tile, in-image, within radius box, not NaN
+        i1 = ii + 1.0   # 1-based coords
+        j1 = jj + 1.0
+        inbox = ((np.abs(i1 - ctr[:, 0:1]) <= radii[:, None])[:, :, None]
+                 & (np.abs(j1 - ctr[:, 1:2]) <= radii[:, None])[:, None, :])
+        mask[:, b] = inbox & valid & ~np.isnan(pix[:, b])
+
+    return [SkyPatch(pixels=pix[s], mask=mask[s], sky=sky[s], iota=iota[s],
+                     offset=offset[s], wcs_jacobian=jac[s],
+                     world_center=wc[s], pixel_center=pc[s], psf=psf[s])
+            for s in range(S)]
+
+
+def stack_patches(patches, dtype=None):
     """Stack per-source SkyPatches into one with leading S axis, placed on
     device — ONE transfer per field (9 total), however many sources.
 
@@ -123,8 +204,9 @@ def stack_patches(patches):
     (512,5,64,64) tile stack) — staging uploads are the dominant non-device
     cost of the fused joint schedule at field scale (benchmark/
     field_results.md width-scaling study). Under x64 (the f64 test suite)
-    the cast is a no-op."""
-    target = jnp.result_type(float)
+    the cast is a no-op. Pass `dtype` to pin the upload precision
+    regardless of the ambient x64 setting."""
+    target = dtype if dtype is not None else jnp.result_type(float)
     out = []
     for f in SkyPatch._fields:
         arr = np.stack([getattr(p, f) for p in patches])

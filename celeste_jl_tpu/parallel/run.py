@@ -22,7 +22,7 @@ import numpy as np
 
 from ..detection.detect import detect_sources
 from ..models.image import CatalogEntry
-from ..models.patches import stack_patches, make_patch_for_source
+from ..models.patches import make_patches_batched, stack_patches
 from ..models.psf import get_psf_width
 from ..ops.newton import NewtonConfig
 from ..utils import log as Log
@@ -83,17 +83,35 @@ def patch_radii(catalog, images, config: Config):
 
 def find_neighbors(catalog, radii, images):
     """neighbor_map: source index -> indices whose patch boxes overlap in any
-    image (imaged_sources.jl:232-244)."""
+    image (imaged_sources.jl:232-244).
+
+    Candidate pairs come from a Chebyshev-metric KDTree ball query at the
+    maximal radius sum (O(S log S + pairs)), then each candidate is checked
+    with its own per-pair radius sum — replaces round 1's O(S^2 * N) Python
+    double loop, which alone cost seconds per 512-source field."""
+    from scipy.spatial import cKDTree
+
     S = len(catalog)
-    centers = np.array([[img.world_to_pix(ce.pos) for img in images]
-                        for ce in catalog])  # (S, N, 2)
+    radii = np.asarray(radii, dtype=np.float64)
     nb = {s: [] for s in range(S)}
-    for i in range(S):
-        for j in range(i + 1, S):
-            d = np.abs(centers[i] - centers[j])     # (N, 2)
-            if np.any(np.all(d <= radii[i] + radii[j], axis=1)):
-                nb[i].append(j)
-                nb[j].append(i)
+    if S < 2:
+        return nb
+    pairs = set()
+    r_max2 = 2.0 * radii.max()
+    for img in images:
+        centers = np.stack([np.asarray(img.world_to_pix(ce.pos), np.float64)
+                            for ce in catalog])  # (S, 2)
+        tree = cKDTree(centers)
+        for i, j in tree.query_pairs(r=r_max2, p=np.inf):
+            if (i, j) in pairs:
+                continue
+            if np.all(np.abs(centers[i] - centers[j]) <= radii[i] + radii[j]):
+                pairs.add((i, j))
+    for i, j in pairs:
+        nb[i].append(j)
+        nb[j].append(i)
+    for s in nb:
+        nb[s].sort()
     return nb
 
 
@@ -149,6 +167,12 @@ class InferenceState:
         self._patches = {}
         self._pixel_counts = {}
         self._stacked = {}
+        # per-source local PSFs from the spatially-varying psfmap
+        # (model/imaged_sources.jl:97-107); lazily batch-fitted on first
+        # patch build, None when no image carries a psfmap.
+        self._patch_psfs = None
+        self._has_psfmap = any(img.meta and img.meta.get("psfmap") is not None
+                               for img in images)
 
         # init_sources semantics (DeterministicVI.jl:94-103): catalog init
         # everywhere, generic re-init for optimization targets.
@@ -174,6 +198,41 @@ class InferenceState:
         self.converged = np.zeros(S, dtype=bool)
         self.iters = np.zeros(S, dtype=np.int64)
 
+    def patch_psf(self, s):
+        """(B, K, 6) local PSF for source s, or None when no image has a
+        psfmap. All targets' PSFs are batch-fitted on first use — one
+        vmapped Newton launch per band (models/psf_fit.fit_patch_psfs)
+        instead of the reference's per-patch loop."""
+        if not self._has_psfmap:
+            return None
+        if self._patch_psfs is None:
+            from ..models.psf_fit import fit_patch_psfs
+            positions = [self.catalog[t].pos for t in self.targets]
+            table = fit_patch_psfs(self.images, positions)
+            self._patch_psfs = {t: table[i]
+                                for i, t in enumerate(self.targets)}
+        return self._patch_psfs.get(s)
+
+    def build_patches(self, sources, tile=None):
+        """Batch-build any missing patches for `sources`: one vectorized
+        gather per (tile, band) via make_patches_batched instead of a
+        per-source Python loop (round 1's ~30 ms/source staging cost —
+        the field-scale host bottleneck, benchmark/field_results.md)."""
+        groups = {}
+        for s in dict.fromkeys(sources):
+            t = int(self.tile[s]) if tile is None else int(tile)
+            if (s, t) not in self._patches:
+                groups.setdefault(t, []).append(s)
+        for t, ss in groups.items():
+            psfs = (np.stack([self.patch_psf(s) for s in ss])
+                    if self._has_psfmap else None)
+            plist = make_patches_batched(
+                self.images, [self.catalog[s].pos for s in ss],
+                self.radii[np.asarray(ss)], t, psfs=psfs)
+            for s, p in zip(ss, plist):
+                self._patches[(s, t)] = p
+                self._pixel_counts[(s, t)] = int(p.mask.sum())
+
     def patch(self, s, tile=None):
         """Per-source SkyPatch, built on first use and cached. `tile`
         overrides the source's bucket tile size (the fused joint schedule
@@ -181,10 +240,7 @@ class InferenceState:
         tile = int(self.tile[s]) if tile is None else int(tile)
         key = (s, tile)
         if key not in self._patches:
-            p = make_patch_for_source(self.images, self.catalog[s].pos,
-                                      radius=self.radii[s], tile_size=tile)
-            self._patches[key] = p
-            self._pixel_counts[key] = int(np.asarray(p.mask).sum())
+            self.build_patches([s], tile=tile)
         return self._patches[key]
 
     def stacked_patches(self, idx_p):
@@ -193,6 +249,7 @@ class InferenceState:
         ever needs transferring back)."""
         key = tuple(idx_p)
         if key not in self._stacked:
+            self.build_patches(idx_p)
             patches = stack_patches([self.patch(s) for s in idx_p])
             counts = np.array([self._pixel_counts[(s, int(self.tile[s]))]
                                for s in idx_p])
@@ -477,13 +534,15 @@ def _fused_joint_run(st: "InferenceState", classes, newton_config,
         lane_valid[i, :len(cls)] = 1.0
 
     pad_rows = [uniq[0]] * (T_pad - len(uniq))
+    st.build_patches(uniq, tile=P)
     stacked = stack_patches([st.patch(s, tile=P) for s in uniq + pad_rows])
-    pix_counts = np.asarray(
-        [[st._pixel_counts[(s, P)] for s in row] for row in lanes],
-        dtype=np.float32)
-    fresh_vp0 = np.asarray(
-        [[generic_init_source(st.catalog[s].pos) for s in row]
-         for row in lanes])
+    counts_by_src = np.zeros(len(st.catalog), dtype=np.float32)
+    fresh_by_src = np.zeros((len(st.catalog), 44))
+    for s in uniq:
+        counts_by_src[s] = st._pixel_counts[(s, P)]
+        fresh_by_src[s] = generic_init_source(st.catalog[s].pos)
+    pix_counts = counts_by_src[lane_src]
+    fresh_vp0 = fresh_by_src[lane_src]
 
     vps = np.zeros((S_pad, 44), dtype=st.vps.dtype)
     vps[:len(st.catalog)] = st.vps
