@@ -91,6 +91,118 @@ def write_catalog(filename, df):
 
 
 # -----------------------------------------------------------------------------
+# Real-survey ground-truth loaders (AccuracyBenchmark.jl:164-335)
+
+GALAXY_ONLY_COLUMNS = ["gal_frac_dev", "gal_axis_ratio", "gal_radius_px",
+                       "gal_angle_deg"]
+
+# known-bad Stripe 82 coadd objects excluded from scoring
+# (AccuracyBenchmark.jl:63-78: blends, bright neighbors, quasars)
+BAD_COADD_OBJID = {
+    "8647474692482203853", "8647474692482203816",
+    "8647474692482204612", "8647474692482204147",
+}
+
+
+def color_from_mags(mags1, band1, mags2, band2):
+    return color_from_fluxes(mag_to_flux(mags1, band1),
+                             mag_to_flux(mags2, band2))
+
+
+def load_coadd_catalog(fits_filename):
+    """Stripe 82 coadd ground truth -> catalog DataFrame
+    (AccuracyBenchmark.jl:198-263). `fits_filename` is a CasJobs Stripe82
+    query result (e.g. the reference's test/data/coadd_for_*.fit fixtures,
+    which round-trip through io/fits.py)."""
+    from ..io.fits import open_fits
+
+    tbl = open_fits(fits_filename)[1].data
+    col = {k: np.asarray(v) for k, v in tbl.items()}
+
+    usedev = col["fracdev_r"] > 0.5
+
+    def dev_or_exp(dev_column, exp_column):
+        return np.where(usedev, col[dev_column], col[exp_column])
+
+    is_star = col["probpsf"] != 0
+
+    def star_or_galaxy(star_column, dev_column, exp_column):
+        return np.where(is_star, col[star_column],
+                        dev_or_exp(dev_column, exp_column))
+
+    mags = {c: star_or_galaxy(f"psfmag_{c}", f"devmag_{c}", f"expmag_{c}")
+            for c in "ugriz"}
+
+    flux_r = mag_to_flux(mags["r"], 2)
+    result = pd.DataFrame({
+        "objid": col["objid"].astype(str),
+        "ra": col["ra"].astype(np.float64),
+        "dec": col["dec"].astype(np.float64),
+        "is_star": is_star.astype(float),
+        "flux_r_nmgy": np.where(flux_r > 0, flux_r, np.nan),
+        "color_ug": color_from_mags(mags["u"], 0, mags["g"], 1),
+        "color_gr": color_from_mags(mags["g"], 1, mags["r"], 2),
+        "color_ri": color_from_mags(mags["r"], 2, mags["i"], 3),
+        "color_iz": color_from_mags(mags["i"], 3, mags["z"], 4),
+        "gal_frac_dev": col["fracdev_r"].astype(np.float64),
+        "gal_axis_ratio": dev_or_exp("devab_r", "expab_r"),
+        "gal_radius_px": dev_or_exp("devrad_r", "exprad_r")
+        / SDSS_ARCSEC_PER_PIXEL,
+        "gal_angle_deg": canonical_angle(dev_or_exp("devphi_r", "expphi_r")),
+    })
+    keep = (col["is_saturated"] == 0) \
+        & ~result["objid"].isin(BAD_COADD_OBJID).to_numpy()
+    result = result[keep].reset_index(drop=True)
+    # for stars, galaxy-only fields are undefined
+    star_rows = result["is_star"].to_numpy() > 0.5
+    for c in GALAXY_ONLY_COLUMNS:
+        result.loc[star_rows, c] = np.nan
+    return result
+
+
+def load_primary(dataset, rcf):
+    """SDSS primary (photoObj) catalog -> catalog DataFrame
+    (AccuracyBenchmark.jl:272-335). `dataset`: io.sdss.SDSSDataSet;
+    `rcf`: RunCamcolField."""
+    from ..io.sdss import read_photoobj
+
+    col = read_photoobj(dataset._open("photoObj", rcf))
+    usedev = col["frac_dev"] > 0.5
+
+    def dev_or_exp(dev_column, exp_column):
+        return np.where(usedev, col[dev_column], col[exp_column])
+
+    is_star = np.asarray(col["is_star"], bool)
+
+    def star_or_galaxy(star_column, dev_column, exp_column):
+        return np.where(is_star, col[star_column],
+                        dev_or_exp(dev_column, exp_column))
+
+    flux = {c: star_or_galaxy(f"psfflux_{c}", f"devflux_{c}", f"expflux_{c}")
+            for c in "ugriz"}
+
+    result = pd.DataFrame({
+        "objid": np.asarray(col["objid"]).astype(str),
+        "ra": col["ra"], "dec": col["dec"],
+        "is_star": is_star.astype(float),
+        "flux_r_nmgy": flux["r"],
+        "color_ug": color_from_fluxes(flux["u"], flux["g"]),
+        "color_gr": color_from_fluxes(flux["g"], flux["r"]),
+        "color_ri": color_from_fluxes(flux["r"], flux["i"]),
+        "color_iz": color_from_fluxes(flux["i"], flux["z"]),
+        "gal_frac_dev": col["frac_dev"],
+        "gal_axis_ratio": dev_or_exp("ab_dev", "ab_exp"),
+        "gal_radius_px": dev_or_exp("theta_dev", "theta_exp")
+        / SDSS_ARCSEC_PER_PIXEL,
+        "gal_angle_deg": canonical_angle(dev_or_exp("phi_dev", "phi_exp")),
+    })
+    # primary flags oversaturation better than coadd: drop psf mag_r < 16
+    with np.errstate(invalid="ignore"):
+        keep = ~(flux_to_mag(np.asarray(col["psfflux_r"], float), 2) < 16)
+    return result[keep].reset_index(drop=True)
+
+
+# -----------------------------------------------------------------------------
 # Variational parameters -> catalog rows (AccuracyBenchmark.jl:337-393)
 
 
