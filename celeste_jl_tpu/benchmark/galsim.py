@@ -168,7 +168,16 @@ def scene_truth(spec: SceneSpec):
 
 
 def render_scene(spec: SceneSpec, seed=1234):
-    """Render the 5-band truth images for one scene."""
+    """Render the 5-band truth images for one scene.
+
+    Truth pixels come from the INDEPENDENT dense renderer
+    (benchmark/independent_render.py) rather than the model's own forward
+    path, mirroring the reference's use of GalSim as an external truth
+    renderer (benchmark/galsim/generate_test_image.py) — so a shared
+    normalization or convolution bug in models/fsm.py shows up in the suite
+    scores instead of cancelling."""
+    from .independent_render import render_scene_nmgy
+
     wcs = LinearWCS(crpix=(0.0, 0.0), crval=spec.world_origin,
                     cd=np.eye(2) * DEG_PER_PIXEL)
     psf = make_psf([1.0], np.zeros((1, 2)),
@@ -178,7 +187,11 @@ def render_scene(spec: SceneSpec, seed=1234):
                     nelec_per_nmgy=NELEC_PER_NMGY, wcs=wcs)
               for b in range(5)]
     truth = scene_truth(spec)
-    gen_images(images, truth, expectation=not spec.include_noise, seed=seed)
+    rng = np.random.default_rng(seed)
+    for img, nmgy in zip(images, render_scene_nmgy(images, truth)):
+        electrons = (nmgy + spec.sky_nmgy) * NELEC_PER_NMGY
+        img.pixels = (electrons if not spec.include_noise
+                      else rng.poisson(electrons).astype(np.float64))
     return images, truth
 
 
