@@ -28,7 +28,7 @@ from ..ops.newton import NewtonConfig
 from ..utils import log as Log
 from ..utils import telemetry
 from ..utils.config import Config
-from ..vi.elbo import source_moment_grids
+from ..vi.elbo import elbo, source_moment_grids
 from ..vi.init import catalog_init_source, generic_init_source
 from ..vi.optimize import (FitResult, fit_sources,
                            fit_sources_compacted, maximize)
@@ -140,6 +140,16 @@ def _render_neighbor_bg(nb_vps, nb_mask, patches):
         return (E * w).sum(0), (V * w).sum(0)
 
     return jax.vmap(per_source)(nb_vps, nb_mask, patches)
+
+
+@jax.jit
+def _elbo_values(vps, patches, bg_E, bg_V):
+    """Batched forward ELBO at fixed params — one eval per lane, used to
+    re-evaluate restart incumbents against the current background."""
+    if bg_E is None:
+        return jax.vmap(lambda v, p: elbo(v, p))(vps, patches)
+    return jax.vmap(lambda v, p, bE, bV: elbo(v, p, bE, bV))(
+        vps, patches, bg_E, bg_V)
 
 
 class InferenceState:
@@ -289,12 +299,11 @@ class InferenceState:
         fresh_init: fit from generic_init_source instead of the warm vps —
         the restart pass against stale-background basin lock-in (see
         one_node_joint_infer).
-        keep_better: only accept lanes whose new ELBO beats the stored one.
-        The comparison is exact when the neighbor background is unchanged
-        between the two fits; during a restart sweep neighbors fitted in
-        earlier classes may have moved slightly since the stored ELBO was
-        computed, so the comparison is approximate to that (small,
-        post-convergence) drift.
+        keep_better: only accept lanes whose new ELBO beats the incumbent's.
+        The incumbent's ELBO is RE-EVALUATED against the launch's own
+        neighbor background inside the same launch (one forward eval per
+        lane), so the comparison is exact even when neighbors moved since
+        the stored ELBO was computed.
         """
         n = len(idx)
         if n == 0:
@@ -320,6 +329,7 @@ class InferenceState:
         # (the extra stage-boundary sync outweighs the tail).
         fit = fit_sources if pad < 256 else partial(
             fit_sources_compacted, stage1_refreshes=10)
+        inc = None
         try:
             if use_bg:
                 src = self.vps if bg_vps is None else bg_vps
@@ -327,8 +337,16 @@ class InferenceState:
                 nb_mask = jnp.asarray(self.nb_mask[idx_p])
                 bg_E, bg_V = _render_neighbor_bg(nb_vps, nb_mask, patches)
                 res = fit(vp0, patches, bg_E, bg_V, config=newton_config)
+                if keep_better:
+                    # incumbent ELBOs against the same background -> the
+                    # keep_better comparison in finish_group is exact
+                    inc = _elbo_values(jnp.asarray(self.vps[idx_p]),
+                                       patches, bg_E, bg_V)
             else:
                 res = fit(vp0, patches, config=newton_config)
+                if keep_better:
+                    inc = _elbo_values(jnp.asarray(self.vps[idx_p]),
+                                       patches, None, None)
         except Exception as exc:
             # Production semantics: log the failed launch and keep the
             # sources at their previous state (ParallelRun.jl:390-396,
@@ -338,7 +356,7 @@ class InferenceState:
             Log.exception(exc)
             telemetry.counters.failures += len(idx)
             return None
-        return dict(idx=idx, n=n, pad=pad, res=res, t0=t0,
+        return dict(idx=idx, n=n, pad=pad, res=res, t0=t0, inc=inc,
                     pixel_counts=pixel_counts, keep_better=keep_better,
                     pixels_per_lane_total=int(np.prod(patches.mask.shape[1:])),
                     label=f"n={n} pad={pad} P{patches.pixels.shape[-1]}")
@@ -368,7 +386,13 @@ class InferenceState:
         telemetry.record_launch_wall(pending["t0"], pending["label"])
         idxa = np.asarray(idx)
         if pending["keep_better"]:
-            take = elbo > self.elbos[idxa]
+            # Exact acceptance: compare against the incumbent's ELBO
+            # re-evaluated under this launch's own neighbor background
+            # (dispatch_group), not the possibly-stale stored value; the
+            # stored ELBO of rejected lanes is refreshed to the re-eval.
+            ref = np.asarray(pending["inc"])[:n]
+            take = elbo > ref
+            self.elbos[idxa[~take]] = ref[~take]
             idxa = idxa[take]
             vp, elbo, conv = vp[take], elbo[take], conv[take]
         self.vps[idxa] = vp
@@ -423,7 +447,10 @@ def _fused_joint_program(vps, elbos, conv, iters, patches, c_real, lane_src,
 
     restart steps (step >= c_real*n_sweeps): fit from the fresh generic
     init against the converged neighbor background and keep the better
-    ELBO (see one_node_joint_infer restart_final).
+    ELBO (see one_node_joint_infer restart_final). Acceptance is exact:
+    the incumbent's ELBO is re-evaluated in-step against the same
+    background the restart fit saw, never compared to a stale stored
+    value.
 
     Returns (vps, elbos, conv, iters, real_visits, total_visits,
     real_iters) — the last three are telemetry scalars (mask-true
@@ -449,6 +476,11 @@ def _fused_joint_program(vps, elbos, conv, iters, patches, c_real, lane_src,
             bg_E, bg_V = _render_neighbor_bg(vps[nbi], nbm, pc)
             res = jax.vmap(lambda v, p, bE, bV: maximize(
                 v, p, bE, bV, config=config))(vp0, pc, bg_E, bg_V)
+            # incumbent ELBO against the CURRENT neighbor background (one
+            # forward eval, ~1% of a fit): restart acceptance compares two
+            # ELBOs under the same background, exactly.
+            inc = jax.vmap(lambda v, p, bE, bV: elbo(v, p, bE, bV))(
+                vps[src], pc, bg_E, bg_V)
         else:
             # Multi-chip: the class's W lanes are conflict-free, so shard
             # them over the mesh's src axis — each chip renders its lanes'
@@ -463,25 +495,36 @@ def _fused_joint_program(vps, elbos, conv, iters, patches, c_real, lane_src,
             from .mesh import SRC_AXIS
 
             lane = PS(SRC_AXIS)
-            res = jax.shard_map(
-                lambda vps_r, nbi_l, nbm_l, pc_l, vp0_l: jax.vmap(
+
+            def _shard_fit(vps_r, nbi_l, nbm_l, pc_l, vp0_l, vinc_l):
+                bg_E, bg_V = _render_neighbor_bg(vps_r[nbi_l], nbm_l, pc_l)
+                res_l = jax.vmap(
                     lambda v, p, bE, bV: maximize(v, p, bE, bV,
                                                   config=config))(
-                    vp0_l, pc_l,
-                    *_render_neighbor_bg(vps_r[nbi_l], nbm_l, pc_l)),
-                mesh=mesh,
-                in_specs=(PS(), lane, lane,
-                          jax.tree.map(lambda _: lane, pc), lane),
-                out_specs=FitResult(vp=lane, elbo=lane, iters=lane,
-                                    f_calls=lane, converged=lane,
-                                    delta=lane, free=lane),
-                check_vma=False)(vps, nbi, nbm, pc, vp0)
+                    vp0_l, pc_l, bg_E, bg_V)
+                inc_l = jax.vmap(lambda v, p, bE, bV: elbo(v, p, bE, bV))(
+                    vinc_l, pc_l, bg_E, bg_V)
+                return res_l, inc_l
 
-        accept = jnp.logical_not(is_restart) | (res.elbo > elbos[src])
+            res, inc = jax.shard_map(
+                _shard_fit, mesh=mesh,
+                in_specs=(PS(), lane, lane,
+                          jax.tree.map(lambda _: lane, pc), lane, lane),
+                out_specs=(FitResult(vp=lane, elbo=lane, iters=lane,
+                                     f_calls=lane, converged=lane,
+                                     delta=lane, free=lane), lane),
+                check_vma=False)(vps, nbi, nbm, pc, vp0, vps[src])
+
+        # Restart acceptance is EXACT: the incumbent's ELBO is re-evaluated
+        # against the same (current) neighbor background the restart fit
+        # saw, so a stale stored ELBO can never reject a better basin. The
+        # stored ELBO is refreshed to the re-evaluation either way.
+        ref = jnp.where(is_restart, inc, elbos[src])
+        accept = jnp.logical_not(is_restart) | (res.elbo > ref)
         pick = lambda new, old: jnp.where(
             accept[:, None] if new.ndim == 2 else accept, new, old)
         vps = vps.at[src].set(pick(res.vp, vps[src]))
-        elbos = elbos.at[src].set(pick(res.elbo, elbos[src]))
+        elbos = elbos.at[src].set(pick(res.elbo, ref))
         conv = conv.at[src].set(pick(res.converged, conv[src]))
         real = vm > 0
         iters = iters.at[src].add(jnp.where(real, res.iters, 0))
