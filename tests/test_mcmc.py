@@ -127,3 +127,40 @@ def test_psrf_near_one_for_iid_chains():
     chains = rng.normal(size=(4, 500, 3))
     psrf = potential_scale_reduction(chains)
     assert np.all(psrf < 1.1)
+
+
+def test_batched_ais_one_launch_two_sources():
+    """run_ais_batched: star + extended galaxy fitted in ONE vmapped AIS
+    launch recover type and flux; mcmc_to_df summarizes with PSRF."""
+    from celeste_jl_tpu.mcmc.infer import mcmc_to_df, one_node_mcmc_infer
+    from celeste_jl_tpu.utils.config import Config
+
+    images = make_blank_images(H=60, W=60, sky_nmgy=0.1,
+                               nelec_per_nmgy=1000.0)
+    star = sample_star(pos=(15.0, 15.0), r_flux=25.0)
+    gal = sample_galaxy(pos=(42.0, 44.0), r_flux=40.0, gal_radius_px=2.5,
+                        gal_axis_ratio=0.8)
+    gen_images(images, [star, gal], seed=6)
+    cfg = Config(num_ais_temperatures=20, num_ais_samples=4,
+                 min_radius_pix=8.0)
+    results = one_node_mcmc_infer([star, gal], images, config=cfg, seed=0)
+    assert len(results) == 2
+    # the extended galaxy is unambiguous; the star is assert-only-valid
+    # (same Bayes-factor noise caveat as test_run_ais_star_posterior)
+    assert 0.0 <= results[0]["ave_pstar"] <= 1.0
+    assert results[1]["ave_pstar"] < 0.1
+    star_flux = np.exp(np.median(results[0]["star_samples"][:, 2]))
+    assert abs(star_flux - 25.0) / 25.0 < 0.2, star_flux
+    # positions converted to world coordinates per lane
+    pos0 = results[0]["star_samples"][:, 5:7].mean(0)
+    assert np.linalg.norm(pos0 - np.array([15.0, 15.0])) < 0.5
+    pos1 = results[1]["gal_samples"][:, 5:7].mean(0)
+    assert np.linalg.norm(pos1 - np.array([42.0, 44.0])) < 0.5
+
+    df = mcmc_to_df(results, num_chains=4)
+    assert len(df) == 2
+    for c in ("ra", "dec", "is_star", "flux_r_nmgy", "color_ug",
+              "log_flux_r_stderr", "star_lnZ", "gal_lnZ", "max_psrf"):
+        assert c in df.columns, c
+    assert df.iloc[1]["gal_radius_px"] > 0
+    assert np.isfinite(df.iloc[1]["max_psrf"])
