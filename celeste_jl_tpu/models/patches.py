@@ -48,7 +48,8 @@ def pixel_coord_grids(offset, P, dtype=jnp.float64):
     return x1, x2
 
 
-def make_patch_for_source(images, world_pos, radius, tile_size, psf=None):
+def make_patch_for_source(images, world_pos, radius, tile_size, psf=None,
+                          active_box=None):
     """Build a SkyPatch (host-side, numpy) for one source.
 
     images: list of B Image objects (models/image.py).
@@ -58,6 +59,9 @@ def make_patch_for_source(images, world_pos, radius, tile_size, psf=None):
     psf: optional (B, K, 6) per-band LOCAL PSF for this source (the
         spatially-varying psfmap evaluated at the patch center,
         model/imaged_sources.jl:97-107); default = each image's global PSF.
+    active_box: optional (B, 4) [x_lo, x_hi, y_lo, y_hi] 1-based inclusive
+        active-region bounds per band (e.g. dilated detection boxes,
+        detection.jl:152-167); overrides the ±radius box.
     """
     world_pos = np.asarray(world_pos, dtype=np.float64)
     B, P = len(images), tile_size
@@ -100,11 +104,15 @@ def make_patch_for_source(images, world_pos, radius, tile_size, psf=None):
         else:
             iota[b][sl_t] = io_
 
-        # active = in-tile, in-image, within radius box, not NaN
+        # active = in-tile, in-image, within the active box, not NaN
         ii = np.arange(P)[:, None] + off[0] + 1.0  # 1-based coords
         jj = np.arange(P)[None, :] + off[1] + 1.0
-        inbox = ((np.abs(ii - ctr[0]) <= radius) &
-                 (np.abs(jj - ctr[1]) <= radius))
+        if active_box is not None:
+            xlo, xhi, ylo, yhi = np.asarray(active_box, np.float64)[b]
+        else:
+            xlo, xhi = ctr[0] - radius, ctr[0] + radius
+            ylo, yhi = ctr[1] - radius, ctr[1] + radius
+        inbox = ((ii >= xlo) & (ii <= xhi) & (jj >= ylo) & (jj <= yhi))
         valid = np.zeros((P, P), dtype=bool)
         valid[sl_t] = ~np.isnan(pix[b][sl_t])
         mask[b] = inbox & valid
@@ -118,7 +126,8 @@ def make_patch_for_source(images, world_pos, radius, tile_size, psf=None):
                     pixel_center=pc, psf=psf)
 
 
-def make_patches_batched(images, positions, radii, tile_size, psfs=None):
+def make_patches_batched(images, positions, radii, tile_size, psfs=None,
+                         active_boxes=None):
     """Build SkyPatches for S sources with ONE vectorized gather per band.
 
     Replaces S calls to make_patch_for_source (round 1's ~30 ms/source
@@ -128,6 +137,10 @@ def make_patches_batched(images, positions, radii, tile_size, psfs=None):
     images: list of B Image objects; positions: (S, 2) world coords;
     radii: (S,) active radii; tile_size: static P; psfs: optional
     (S, B, K, 6) per-source local PSFs (see psf_fit.fit_patch_psfs).
+    active_boxes: optional (S, B, 4) [x_lo, x_hi, y_lo, y_hi] 1-based
+    inclusive pixel bounds of the active region per source per image —
+    e.g. the dilated detection bounding boxes (detection.jl:152-167);
+    default is the ±radius box around the source center.
     Returns a list of S SkyPatch (numpy leaves, views into shared buffers).
     """
     positions = np.asarray(positions, dtype=np.float64)
@@ -181,11 +194,16 @@ def make_patches_batched(images, positions, radii, tile_size, psfs=None):
         else:
             iota[:, b] = np.where(valid, io_, 1.0)
 
-        # active = in-tile, in-image, within radius box, not NaN
+        # active = in-tile, in-image, within the active box, not NaN
         i1 = ii + 1.0   # 1-based coords
         j1 = jj + 1.0
-        inbox = ((np.abs(i1 - ctr[:, 0:1]) <= radii[:, None])[:, :, None]
-                 & (np.abs(j1 - ctr[:, 1:2]) <= radii[:, None])[:, None, :])
+        if active_boxes is not None:
+            bx = np.asarray(active_boxes, dtype=np.float64)[:, b]  # (S, 4)
+        else:
+            bx = np.stack([ctr[:, 0] - radii, ctr[:, 0] + radii,
+                           ctr[:, 1] - radii, ctr[:, 1] + radii], axis=1)
+        inbox = (((i1 >= bx[:, 0:1]) & (i1 <= bx[:, 1:2]))[:, :, None]
+                 & ((j1 >= bx[:, 2:3]) & (j1 <= bx[:, 3:4]))[:, None, :])
         mask[:, b] = inbox & valid & ~np.isnan(pix[:, b])
 
     return [SkyPatch(pixels=pix[s], mask=mask[s], sky=sky[s], iota=iota[s],

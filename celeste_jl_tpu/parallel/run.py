@@ -115,6 +115,41 @@ def find_neighbors(catalog, radii, images):
     return nb
 
 
+def detection_active_boxes(catalog, det_boxes, images, dilate=0.2,
+                           min_half=5.0):
+    """Per-source per-image active boxes from the detection bounding boxes:
+    dilate each box 20% and enclose a ±5 px minimum box around the source
+    center (detection.jl:152-167 dilate_box + box_around_point +
+    enclose_boxes). Returns ((S, B, 4) 1-based inclusive bounds,
+    (S,) required active radius = max distance from center to a box edge).
+
+    Images with no detection for a source get the minimum box — the
+    reference's no-detection fallback (detection.jl:163-167)."""
+    S, B = len(catalog), len(images)
+    out = np.zeros((S, B, 4))
+    req = np.zeros(S)
+    centers = np.stack([
+        np.asarray(img.world_to_pix(
+            np.stack([np.asarray(ce.pos, np.float64) for ce in catalog])))
+        for img in images], axis=1)      # (S, B, 2)
+    for i in range(S):
+        for j in range(B):
+            ctr = centers[i, j]
+            xlo, xhi = ctr[0] - min_half, ctr[0] + min_half
+            ylo, yhi = ctr[1] - min_half, ctr[1] + min_half
+            bx = det_boxes[i].get(j) if det_boxes is not None else None
+            if bx is not None:
+                xmin, xmax, ymin, ymax = bx
+                dx = round(dilate * (xmax - xmin + 1) / 2.0)
+                dy = round(dilate * (ymax - ymin + 1) / 2.0)
+                xlo, xhi = min(xlo, xmin - dx), max(xhi, xmax + dx)
+                ylo, yhi = min(ylo, ymin - dy), max(yhi, ymax + dy)
+            out[i, j] = (xlo, xhi, ylo, yhi)
+            req[i] = max(req[i], xhi - ctr[0], ctr[0] - xlo,
+                         yhi - ctr[1], ctr[1] - ylo)
+    return out, req
+
+
 def _tile_for_radius(radius):
     need = int(2 * math.ceil(radius) + 6)
     for P in TILE_BUCKETS:
@@ -157,14 +192,33 @@ class InferenceState:
     by tile size), variational params, neighbor map."""
 
     def __init__(self, catalog, images, config: Config,
-                 target_sources=None, max_neighbors=8):
+                 target_sources=None, max_neighbors=8, active_boxes=None):
         self.catalog = catalog
         self.images = images
         self.config = config
         S = len(catalog)
         self.targets = (list(range(S)) if target_sources is None
                         else list(target_sources))
-        self.radii = patch_radii(catalog, images, config)
+        # active_boxes: detection-footprint masks — either the
+        # ((S, B, 4) boxes, (S,) required radius) pair returned by
+        # detection_active_boxes, or just the boxes (radius then falls back
+        # to half the box extent). None = flux-based radius boxes.
+        if active_boxes is not None:
+            if isinstance(active_boxes, tuple):
+                self.active_boxes, req = active_boxes
+            else:
+                self.active_boxes = np.asarray(active_boxes, float)
+                req = np.maximum(
+                    (self.active_boxes[:, :, 1]
+                     - self.active_boxes[:, :, 0]) / 2.0,
+                    (self.active_boxes[:, :, 3]
+                     - self.active_boxes[:, :, 2]) / 2.0).max(axis=1)
+            # tile/conflict radius must cover the active box
+            self.radii = np.maximum(np.asarray(req, float),
+                                    config.min_radius_pix)
+        else:
+            self.active_boxes = None
+            self.radii = patch_radii(catalog, images, config)
         self.neighbor_map = find_neighbors(catalog, self.radii, images)
         self.max_neighbors = max_neighbors
 
@@ -236,9 +290,12 @@ class InferenceState:
         for t, ss in groups.items():
             psfs = (np.stack([self.patch_psf(s) for s in ss])
                     if self._has_psfmap else None)
+            boxes = (self.active_boxes[np.asarray(ss)]
+                     if self.active_boxes is not None else None)
             plist = make_patches_batched(
                 self.images, [self.catalog[s].pos for s in ss],
-                self.radii[np.asarray(ss)], t, psfs=psfs)
+                self.radii[np.asarray(ss)], t, psfs=psfs,
+                active_boxes=boxes)
             for s, p in zip(ss, plist):
                 self._patches[(s, t)] = p
                 self._pixel_counts[(s, t)] = int(p.mask.sum())
@@ -538,23 +595,38 @@ def _fused_joint_program(vps, elbos, conv, iters, patches, c_real, lane_src,
         0, n_steps, body, (vps, elbos, conv, iters, f32, f32, f32))
 
 
-def _fused_joint_run(st: "InferenceState", classes, newton_config,
-                     n_sweeps, n_restart, mesh=None):
-    """Host staging for _fused_joint_program: pad classes to one (C, W)
-    lane grid at one shared tile size, upload each unique target patch
-    once, run the whole schedule in a single launch, apply the results.
+def _fused_joint_run_multi(states, classes, newton_config, n_sweeps,
+                           n_restart, mesh=None):
+    """Host staging for _fused_joint_program over ONE OR MORE fields.
+
+    Fields never conflict, so several fields' sources can ride the SAME
+    class index side by side — cross-field lateral class merging, the
+    occupancy win a single sparse field cannot reach (reference analog:
+    box-level task farm, contrib/nersc/infer.sl:30, where each box only
+    ever occupied one thread pool). `classes` uses MERGED source ids:
+    field f's source s has id offset_f + s (offsets by cumulative catalog
+    length). Pads classes to one (C, W) lane grid at one shared tile size,
+    uploads each unique target patch once, runs the whole schedule in a
+    single launch, applies the results back to every field's state.
     Returns False if the staging would not fit device memory (caller falls
-    back to the host-driven loop)."""
-    targets = st.targets
-    P = int(max(st.tile[s] for s in targets))
-    W = max(32 if len(targets) >= 32 else _next_pow2(len(targets)),
+    back to per-field scheduling)."""
+    offsets = np.cumsum([0] + [len(st.catalog) for st in states])
+    S_tot = int(offsets[-1])
+
+    def owner(m):
+        f = int(np.searchsorted(offsets, m, side="right") - 1)
+        return f, m - int(offsets[f])
+
+    n_targets = sum(len(st.targets) for st in states)
+    P = int(max(max(st.tile[s] for s in st.targets) for st in states))
+    W = max(32 if n_targets >= 32 else _next_pow2(n_targets),
             _next_pow2(max(len(c) for c in classes)))
     if mesh is not None:
         from .mesh import SRC_AXIS
         W = max(W, _next_pow2(mesh.shape[SRC_AXIS]))
     C = _next_pow2(len(classes))
-    S_pad = _next_pow2(len(st.catalog))
-    B = len(st.images)
+    S_pad = _next_pow2(S_tot)
+    B = len(states[0].images)
     uniq = sorted({s for cls in classes for s in cls})
     T_pad = _next_pow2(len(uniq))
     est_bytes = T_pad * B * P * P * 4 * 4
@@ -576,46 +648,78 @@ def _fused_joint_run(st: "InferenceState", classes, newton_config,
     for i, cls in enumerate(classes):
         lane_valid[i, :len(cls)] = 1.0
 
+    # batch-build each field's patches at the shared tile, then stack the
+    # unique target rows in merged order
+    by_field = {}
+    for m in uniq:
+        f, s = owner(m)
+        by_field.setdefault(f, []).append(s)
+    for f, ss in by_field.items():
+        states[f].build_patches(ss, tile=P)
+
+    def patch_of(m):
+        f, s = owner(m)
+        return states[f].patch(s, tile=P)
+
     pad_rows = [uniq[0]] * (T_pad - len(uniq))
-    st.build_patches(uniq, tile=P)
-    stacked = stack_patches([st.patch(s, tile=P) for s in uniq + pad_rows])
-    counts_by_src = np.zeros(len(st.catalog), dtype=np.float32)
-    fresh_by_src = np.zeros((len(st.catalog), 44))
-    for s in uniq:
-        counts_by_src[s] = st._pixel_counts[(s, P)]
-        fresh_by_src[s] = generic_init_source(st.catalog[s].pos)
+    stacked = stack_patches([patch_of(m) for m in uniq + pad_rows])
+
+    counts_by_src = np.zeros(S_tot, dtype=np.float32)
+    fresh_by_src = np.zeros((S_tot, 44))
+    for m in uniq:
+        f, s = owner(m)
+        counts_by_src[m] = states[f]._pixel_counts[(s, P)]
+        fresh_by_src[m] = generic_init_source(states[f].catalog[s].pos)
     pix_counts = counts_by_src[lane_src]
     fresh_vp0 = fresh_by_src[lane_src]
 
-    vps = np.zeros((S_pad, 44), dtype=st.vps.dtype)
-    vps[:len(st.catalog)] = st.vps
+    # merged neighbor tables: offset each field's indices (no cross-field
+    # edges exist); merged mutable state by concatenation
+    NB = states[0].nb_idx.shape[1]
+    nb_idx = np.zeros((S_tot, NB), dtype=np.int64)
+    nb_mask = np.zeros((S_tot, NB))
+    vps = np.zeros((S_pad, 44), dtype=states[0].vps.dtype)
     elbos = np.full(S_pad, -np.inf, dtype=np.float64)
-    elbos[:len(st.catalog)] = st.elbos
     convs = np.zeros(S_pad, dtype=bool)
-    convs[:len(st.catalog)] = st.converged
+    for f, st in enumerate(states):
+        o = int(offsets[f])
+        sl = slice(o, o + len(st.catalog))
+        nb_idx[sl] = st.nb_idx + o
+        nb_mask[sl] = st.nb_mask
+        vps[sl] = st.vps
+        elbos[sl] = st.elbos
+        convs[sl] = st.converged
 
     with telemetry.launch_timer(
-            f"fused C={len(classes)}/{C} W={W} P={P} "
+            f"fused F={len(states)} C={len(classes)}/{C} W={W} P={P} "
             f"steps={len(classes) * (n_sweeps + n_restart)}"):
         out = _fused_joint_program(
             jnp.asarray(vps), jnp.asarray(elbos), jnp.asarray(convs),
             jnp.zeros(S_pad, jnp.int32), stacked,
             jnp.asarray(len(classes), jnp.int32), lane_src, lane_pat,
-            lane_valid, st.nb_idx[lane_src], st.nb_mask[lane_src],
+            lane_valid, nb_idx[lane_src], nb_mask[lane_src],
             fresh_vp0, pix_counts, n_sweeps=n_sweeps, n_restart=n_restart,
             config=newton_config, mesh=mesh)
         out = jax.block_until_ready(out)
     vps_o, elbos_o, conv_o, iters_o, rv, tv, ri = out
-    S = len(st.catalog)
-    st.vps = np.asarray(vps_o)[:S]
-    st.elbos = np.asarray(elbos_o)[:S]
-    st.converged = np.asarray(conv_o)[:S]
-    st.iters += np.asarray(iters_o)[:S]
-    telemetry.counters.sources_fit += len(targets) * (n_sweeps + n_restart)
+    for f, st in enumerate(states):
+        o, S = int(offsets[f]), len(st.catalog)
+        st.vps = np.asarray(vps_o)[o:o + S]
+        st.elbos = np.asarray(elbos_o)[o:o + S]
+        st.converged = np.asarray(conv_o)[o:o + S]
+        st.iters += np.asarray(iters_o)[o:o + S]
+    telemetry.counters.sources_fit += n_targets * (n_sweeps + n_restart)
     telemetry.counters.newton_iters += int(ri)
     telemetry.counters.pixel_visits += int(rv)
     telemetry.counters.padded_visits += int(max(float(tv) - float(rv), 0.0))
     return True
+
+
+def _fused_joint_run(st: "InferenceState", classes, newton_config,
+                     n_sweeps, n_restart, mesh=None):
+    """Single-field wrapper over _fused_joint_run_multi."""
+    return _fused_joint_run_multi([st], classes, newton_config, n_sweeps,
+                                  n_restart, mesh=mesh)
 
 
 def _waves(components):
@@ -760,7 +864,7 @@ def one_node_joint_infer(catalog, images, target_sources=None,
                          config=Config(), batch_size=None,
                          newton_config=NewtonConfig(), max_neighbors=8,
                          seed=42, state=None, checkpoint_path=None,
-                         restart_final=True, mesh=None):
+                         restart_final=True, mesh=None, active_boxes=None):
     """Joint VI over all targets: num_joint_vi_iters sweeps over
     conflict-free classes of the overlap graph, each class one batched
     launch with neighbors as freshest-vp background. The schedule is a
@@ -785,7 +889,7 @@ def one_node_joint_infer(catalog, images, target_sources=None,
     import os
 
     st = state or InferenceState(catalog, images, config, target_sources,
-                                 max_neighbors)
+                                 max_neighbors, active_boxes=active_boxes)
     targets = st.targets
     tset = set(targets)
     nb_for_targets = {s: [n for n in st.neighbor_map[s] if n in tset]
@@ -875,13 +979,68 @@ def one_node_joint_infer(catalog, images, target_sources=None,
     return _collect_results(st)
 
 
+def joint_infer_fields(fields, config=Config(),
+                       newton_config=NewtonConfig(), max_neighbors=8,
+                       seed=42, restart_final=True, mesh=None):
+    """Joint VI over MULTIPLE independent fields/boxes as ONE fused launch.
+
+    fields: list of dicts with keys `catalog`, `images`, and optionally
+    `target_sources` / `active_boxes` (same meaning as one_node_joint_infer).
+    Returns a list of per-field result lists.
+
+    A single sparse field rarely fills the fused program's lanes (the
+    128-source field benchmark runs W≈32 lanes vs the 512-lane batch
+    bench). Fields never conflict, so their color classes merge LATERALLY:
+    the width-capped packer runs on the union conflict graph with
+    field-offset source ids and freely packs sources of different fields
+    into the same class. Reference analog: the box-level task farm
+    (contrib/nersc/infer.sl:30) × per-box thread scheduling
+    (ParallelRun.jl:302-369) — which never shared a thread pool across
+    boxes. Falls back to per-field one_node_joint_infer when the merged
+    staging exceeds the device budget."""
+    states = [InferenceState(f["catalog"], f["images"], config,
+                             f.get("target_sources"), max_neighbors,
+                             active_boxes=f.get("active_boxes"))
+              for f in fields]
+    assert len({len(st.images) for st in states}) <= 1, \
+        "all fields must have the same number of bands"
+
+    offsets = np.cumsum([0] + [len(st.catalog) for st in states])
+    merged_targets, merged_nb = [], {}
+    for f, st in enumerate(states):
+        o = int(offsets[f])
+        tset = set(st.targets)
+        for s in st.targets:
+            merged_targets.append(o + s)
+            merged_nb[o + s] = [o + n for n in st.neighbor_map[s]
+                                if n in tset]
+
+    telemetry.counters.reset()
+    classes = fused_color_classes(merged_targets, merged_nb,
+                                  np.random.default_rng(seed))
+    Log.info(f"joint infer (fields): {len(states)} fields, "
+             f"{len(merged_targets)} sources, {len(classes)} merged classes")
+    ok = _fused_joint_run_multi(states, classes, newton_config,
+                                n_sweeps=config.num_joint_vi_iters,
+                                n_restart=1 if restart_final else 0,
+                                mesh=mesh)
+    if not ok:
+        return [one_node_joint_infer(
+            f["catalog"], f["images"], f.get("target_sources"), config,
+            newton_config=newton_config, max_neighbors=max_neighbors,
+            seed=seed, restart_final=restart_final, mesh=mesh,
+            active_boxes=f.get("active_boxes")) for f in fields]
+    telemetry.counters.report("joint infer (fields, fused)")
+    return [_collect_results(st) for st in states]
+
+
 def one_node_single_infer(catalog, images, target_sources=None,
                           config=Config(), newton_config=NewtonConfig(),
-                          max_neighbors=8, state=None):
+                          max_neighbors=8, state=None, active_boxes=None):
     """Independent per-source fits with neighbors fixed at their catalog
     initialization (ParallelRun.jl:546-607 + process_source :468-498)."""
     st = state or InferenceState(catalog, images, config, target_sources,
-                                 max_neighbors)
+                                 max_neighbors, active_boxes=active_boxes)
     # bg comes from the *initial* vps for every target, as in the
     # reference's per-source ElboArgs construction: snapshot first.
     vps0 = st.vps.copy()
@@ -935,8 +1094,13 @@ def infer_box(images, box=None, method="joint_vi", catalog=None,
     import time as _time
 
     t0 = _time.perf_counter()
+    active_boxes = None
     if catalog is None:
-        catalog, _ = detect_sources(images, **detect_kwargs)
+        catalog, det_boxes = detect_sources(images, **detect_kwargs)
+        if catalog:
+            # patches cover the dilated detection footprints, matching the
+            # reference's patch construction (detection.jl:152-167)
+            active_boxes = detection_active_boxes(catalog, det_boxes, images)
     t_detect = _time.perf_counter() - t0
     Log.info(f"infer_box: {len(catalog)} detected sources, method={method} "
              f"(detect {t_detect:.2f}s)")
@@ -950,9 +1114,11 @@ def infer_box(images, box=None, method="joint_vi", catalog=None,
         targets = None
     t1 = _time.perf_counter()
     if method == "joint_vi":
-        out = one_node_joint_infer(catalog, images, targets, config)
+        out = one_node_joint_infer(catalog, images, targets, config,
+                                   active_boxes=active_boxes)
     elif method == "single_vi":
-        out = one_node_single_infer(catalog, images, targets, config)
+        out = one_node_single_infer(catalog, images, targets, config,
+                                    active_boxes=active_boxes)
     elif method == "mcmc":
         from ..mcmc.infer import one_node_mcmc_infer
         out = one_node_mcmc_infer(catalog, images, targets, config)
