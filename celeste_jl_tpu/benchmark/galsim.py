@@ -281,13 +281,17 @@ def estimate_violations(comparison_df):
 
 def run_benchmarks(names=None, joint_inference=False, seed=1234,
                    use_full_initialization=False, config=None,
-                   newton_config=None, min_radius_pix=16.0):
+                   newton_config=None, min_radius_pix=16.0,
+                   force_noise=False):
     """Run inference on each scene; returns (truth_df, prediction_df) with
     aligned rows (GalsimBenchmark.jl:78-125).
 
     min_radius_pix: the reference forces 40px active radii
     (ACTIVE_PIXELS_MIN_RADIUS_PX); smaller values trade a little accuracy
     for much smaller patch tiles.
+    force_noise: render EVERY scene with Poisson noise (the calibration
+    study needs per-seed error realizations; most scenes default noise-free
+    to match the reference's deterministic cases).
     """
     import pandas as pd
 
@@ -303,6 +307,8 @@ def run_benchmarks(names=None, joint_inference=False, seed=1234,
     truth_dfs, pred_dfs = [], []
     for name in names:
         spec = SCENES_BY_NAME[name]
+        if force_noise and not spec.include_noise:
+            spec = replace(spec, include_noise=True)
         images, truth = render_scene(spec, seed=seed)
         init = make_initialization_catalog(
             truth, use_full_initialization=use_full_initialization)
