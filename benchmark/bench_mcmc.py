@@ -64,7 +64,7 @@ def main():
     from celeste_jl_tpu.mcmc.infer import run_ais_batched
     from celeste_jl_tpu.mcmc.log_prob import make_source_target
     from celeste_jl_tpu.models.patches import make_patches_batched
-    from celeste_jl_tpu.synthetic import (gen_images, make_blank_images,
+    from celeste_jl_tpu.synthetic import (gen_images_fast, make_blank_images,
                                           sample_galaxy, sample_star)
     from celeste_jl_tpu.utils.config import Config
 
@@ -83,7 +83,7 @@ def main():
             catalog.append(sample_galaxy(
                 pos=pos, r_flux=rng.uniform(15, 50),
                 gal_radius_px=rng.uniform(1.5, 3.0)))
-    gen_images(images, catalog, seed=11)
+    gen_images_fast(images, catalog, seed=11)
     cfg = Config(min_radius_pix=8.0)
 
     import jax.numpy as jnp

@@ -42,7 +42,7 @@ def main():
     from celeste_jl_tpu.models.image import CatalogEntry
     from celeste_jl_tpu.models.params import ids
     from celeste_jl_tpu.parallel.run import infer_box
-    from celeste_jl_tpu.synthetic import (gen_images, make_blank_images,
+    from celeste_jl_tpu.synthetic import (gen_images_fast, make_blank_images,
                                           sample_galaxy, sample_star)
     from celeste_jl_tpu.utils.config import Config
 
@@ -66,7 +66,7 @@ def main():
                     gal_angle=float(rng.uniform(0.0, np.pi))))
         images = make_blank_images(H=SIZE, W=SIZE, sky_nmgy=0.05,
                                    nelec_per_nmgy=800.0)
-        gen_images(images, truth, seed=seed)
+        gen_images_fast(images, truth, seed=seed)
         return images, truth
 
     def score(results, truth):

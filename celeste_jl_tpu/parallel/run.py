@@ -471,82 +471,48 @@ class InferenceState:
 
 
 @partial(jax.jit, static_argnames=("n_sweeps", "n_restart", "config", "mesh"))
-def _fused_joint_program(vps, elbos, conv, iters, patches, c_real, lane_src,
-                         lane_pat, lane_valid, nb_idx, nb_mask, fresh_vp0,
-                         pix_counts, n_sweeps, n_restart,
-                         config: NewtonConfig, mesh=None):
-    """The ENTIRE joint-VI schedule as one XLA program.
+def _fused_joint_program(vps, elbos, conv, iters, buckets, c_real,
+                                  n_sweeps, n_restart, config: NewtonConfig,
+                                  mesh=None):
+    """The ENTIRE joint-VI schedule as one XLA program, with per-tile-bucket lane grids.
 
-    The host-driven schedule pays one device round trip per (sweep, color
-    class) launch — measured ~0.2-0.45 s each over a tunneled TPU, 28
-    launches ≈ 8 s for a 128-source field whose actual fit compute is ~1 s.
-    Here the schedule runs as a `lax.fori_loop` over c_real * (n_sweeps +
-    n_restart) steps with the variational parameters RESIDENT on device:
-    step -> class c = step % c_real, gather that class's lanes (patch rows
-    and neighbor vps), render the neighbor background in-graph, run the
-    batched Newton fit, scatter results back. Serial equivalence (each fit
-    sees the freshest conflicting neighbors, partition.jl:85-236) is
-    preserved exactly — the loop body IS the per-class launch, just without
-    the host in the middle.
+    One shared tile size makes every lane pay the LARGEST source's pixel
+    cost: one 64px source among a thousand 16/32px sources quadruples (or
+    16x-es) the whole schedule's per-lane work — measured 56 fits/s at 6%
+    utilization on the 8-field benchmark. Here each class-step is split by
+    tile bucket, mirroring the host-driven path's per-(class, bucket)
+    launches exactly: all sources of a class are mutually conflict-free,
+    so the split preserves the serial order (sweep, class) bit-for-bit.
 
-    Shapes (static → compile keys): vps (S_pad, 44); patch leaves
-    (T_pad, B, ...) — ONE row per unique target source, gathered per lane;
-    per-class tensors lead with (C, W): lane_src (global catalog id, for
-    the vps scatter), lane_pat (patch row), lane_valid, nb_idx/nb_mask
-    (C, W, NB), fresh_vp0 (C, W, 44), pix_counts (C, W) f32. C is padded
-    to a power of two for compile-cache stability, but the loop bound is
-    the TRACED c_real — padding classes never execute.
-
-    Scatter consistency with duplicate lanes: padded lanes duplicate a real
-    lane of the same class, so their fit outputs are bit-identical to that
-    lane's — duplicate-index `.set` scatters write one consistent value.
-    Per-lane validity only gates the additive counters.
-
-    restart steps (step >= c_real*n_sweeps): fit from the fresh generic
-    init against the converged neighbor background and keep the better
-    ELBO (see one_node_joint_infer restart_final). Acceptance is exact:
-    the incumbent's ELBO is re-evaluated in-step against the same
-    background the restart fit saw, never compared to a stale stored
-    value.
-
-    Returns (vps, elbos, conv, iters, real_visits, total_visits,
-    real_iters) — the last three are telemetry scalars (mask-true
-    pixel-visits, total padded pixel-visits, Newton iterations on real
-    lanes)."""
-    lane_total = float(np.prod(patches.mask.shape[1:]))
+    `buckets` is a tuple (static; unrolled in the loop body) of per-bucket
+    dicts: patches (T_t, B, P_t, P_t) leaves, lane_src/lane_pat/lane_valid
+    (C, W_t), nb_idx/nb_mask (C, W_t, NB), fresh_vp0 (C, W_t, 44),
+    pix_counts (C, W_t), has (C,) bool — whether class c has any real lane
+    in this bucket. Empty (class, bucket) groups skip their sub-fit via
+    lax.cond (a real runtime branch, not masking), so classes that don't
+    span every bucket cost nothing extra."""
     n_steps = c_real * (n_sweeps + n_restart)
-    f32 = jnp.zeros((), jnp.promote_types(pix_counts.dtype, jnp.float32))
+    f32 = jnp.zeros((), jnp.promote_types(buckets[0]["pix_counts"].dtype,
+                                          jnp.float32))
 
-    def body(step, carry):
+    def bucket_step(bk, c, is_restart, carry):
         vps, elbos, conv, iters, rv, tv, ri = carry
-        c = step % c_real
-        is_restart = step >= c_real * n_sweeps
+        lane_total = float(np.prod(bk["patches"].mask.shape[1:]))
         take = lambda t: jax.lax.dynamic_index_in_dim(t, c, keepdims=False)
-        src = take(lane_src)
-        pc = jax.tree.map(lambda t: t[take(lane_pat)], patches)
-        vm = take(lane_valid)
-        nbi, nbm = take(nb_idx), take(nb_mask)
-        fv0, cnt = take(fresh_vp0), take(pix_counts)
+        src = take(bk["lane_src"])
+        pc = jax.tree.map(lambda t: t[take(bk["lane_pat"])], bk["patches"])
+        vm = take(bk["lane_valid"])
+        nbi, nbm = take(bk["nb_idx"]), take(bk["nb_mask"])
+        fv0, cnt = take(bk["fresh_vp0"]), take(bk["pix_counts"])
 
         vp0 = jnp.where(is_restart, fv0, vps[src])
         if mesh is None:
             bg_E, bg_V = _render_neighbor_bg(vps[nbi], nbm, pc)
             res = jax.vmap(lambda v, p, bE, bV: maximize(
                 v, p, bE, bV, config=config))(vp0, pc, bg_E, bg_V)
-            # incumbent ELBO against the CURRENT neighbor background (one
-            # forward eval, ~1% of a fit): restart acceptance compares two
-            # ELBOs under the same background, exactly.
             inc = jax.vmap(lambda v, p, bE, bV: elbo(v, p, bE, bV))(
                 vps[src], pc, bg_E, bg_V)
         else:
-            # Multi-chip: the class's W lanes are conflict-free, so shard
-            # them over the mesh's src axis — each chip renders its lanes'
-            # neighbor backgrounds from the replicated vps and runs its
-            # slice of the batched Newton fit; no collectives inside a
-            # step, results re-assemble as a global (W, ...) array for the
-            # (replicated) scatter. The reference's analog is threads over
-            # a Cyclades batch (ParallelRun.jl:302-369); here the "threads"
-            # are chips on ICI.
             from jax.sharding import PartitionSpec as PS
 
             from .mesh import SRC_AXIS
@@ -572,10 +538,6 @@ def _fused_joint_program(vps, elbos, conv, iters, patches, c_real, lane_src,
                                      delta=lane, free=lane), lane),
                 check_vma=False)(vps, nbi, nbm, pc, vp0, vps[src])
 
-        # Restart acceptance is EXACT: the incumbent's ELBO is re-evaluated
-        # against the same (current) neighbor background the restart fit
-        # saw, so a stale stored ELBO can never reject a better basin. The
-        # stored ELBO is refreshed to the re-evaluation either way.
         ref = jnp.where(is_restart, inc, elbos[src])
         accept = jnp.logical_not(is_restart) | (res.elbo > ref)
         pick = lambda new, old: jnp.where(
@@ -591,13 +553,24 @@ def _fused_joint_program(vps, elbos, conv, iters, patches, c_real, lane_src,
         ri = ri + jnp.sum(jnp.where(real, res.iters, 0)).astype(rv.dtype)
         return (vps, elbos, conv, iters, rv, tv, ri)
 
+    def body(step, carry):
+        c = step % c_real
+        is_restart = step >= c_real * n_sweeps
+        for bk in buckets:  # static unroll: one sub-fit per tile size
+            carry = jax.lax.cond(
+                jax.lax.dynamic_index_in_dim(bk["has"], c, keepdims=False),
+                lambda cr, bk=bk: bucket_step(bk, c, is_restart, cr),
+                lambda cr: cr, carry)
+        return carry
+
     return jax.lax.fori_loop(
         0, n_steps, body, (vps, elbos, conv, iters, f32, f32, f32))
 
 
-def _fused_joint_run_multi(states, classes, newton_config, n_sweeps,
-                           n_restart, mesh=None):
-    """Host staging for _fused_joint_program over ONE OR MORE fields.
+def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
+                          n_restart, mesh=None, budget_bytes=4 << 30):
+    """Host staging + ASYNC dispatch of _fused_joint_program over ONE OR
+    MORE fields.
 
     Fields never conflict, so several fields' sources can ride the SAME
     class index side by side — cross-field lateral class merging, the
@@ -606,10 +579,12 @@ def _fused_joint_run_multi(states, classes, newton_config, n_sweeps,
     ever occupied one thread pool). `classes` uses MERGED source ids:
     field f's source s has id offset_f + s (offsets by cumulative catalog
     length). Pads classes to one (C, W) lane grid at one shared tile size,
-    uploads each unique target patch once, runs the whole schedule in a
-    single launch, applies the results back to every field's state.
-    Returns False if the staging would not fit device memory (caller falls
-    back to per-field scheduling)."""
+    uploads each unique target patch once, and enqueues the whole schedule
+    as a single launch. JAX dispatch is async: this returns a handle while
+    the device crunches; `_fused_joint_finish(handle)` blocks and applies
+    the results back to every field's state. Returns None if the staging
+    would not fit `budget_bytes` of device memory (caller falls back to
+    per-field scheduling)."""
     offsets = np.cumsum([0] + [len(st.catalog) for st in states])
     S_tot = int(offsets[-1])
 
@@ -618,60 +593,39 @@ def _fused_joint_run_multi(states, classes, newton_config, n_sweeps,
         return f, m - int(offsets[f])
 
     n_targets = sum(len(st.targets) for st in states)
-    P = int(max(max(st.tile[s] for s in st.targets) for st in states))
-    W = max(32 if n_targets >= 32 else _next_pow2(n_targets),
-            _next_pow2(max(len(c) for c in classes)))
-    if mesh is not None:
-        from .mesh import SRC_AXIS
-        W = max(W, _next_pow2(mesh.shape[SRC_AXIS]))
+    tile_of = {}
+    for f, st in enumerate(states):
+        o = int(offsets[f])
+        for s in st.targets:
+            tile_of[o + s] = int(st.tile[s])
+    tiles = sorted({tile_of[m] for cls in classes for m in cls})
     C = _next_pow2(len(classes))
     S_pad = _next_pow2(S_tot)
     B = len(states[0].images)
-    uniq = sorted({s for cls in classes for s in cls})
-    T_pad = _next_pow2(len(uniq))
-    est_bytes = T_pad * B * P * P * 4 * 4
-    if est_bytes > 4 << 30:
+
+    # per-bucket widths + staging budget (each bucket stages at ITS tile)
+    grp = {t: [[m for m in cls if tile_of[m] == t] for cls in classes]
+           for t in tiles}
+    uniq_t, W_t, T_t = {}, {}, {}
+    est_bytes = 0
+    for t in tiles:
+        uniq_t[t] = sorted({m for g in grp[t] for m in g})
+        n_t = len(uniq_t[t])
+        W = max(32 if n_t >= 32 else _next_pow2(n_t),
+                _next_pow2(max((len(g) for g in grp[t] if g), default=1)))
+        if mesh is not None:
+            from .mesh import SRC_AXIS
+            W = max(W, _next_pow2(mesh.shape[SRC_AXIS]))
+        W_t[t] = W
+        T_t[t] = _next_pow2(n_t)
+        est_bytes += T_t[t] * B * t * t * 4 * 4
+    if est_bytes > budget_bytes:
         Log.info(f"fused joint: staging ~{est_bytes >> 20} MiB exceeds the "
                  "budget; using the host-driven schedule")
-        return False
-    pat_row = {s: i for i, s in enumerate(uniq)}
+        return None
 
-    lanes = []
-    for cls in classes:
-        lanes.append(list(cls) + [cls[0]] * (W - len(cls)))
-    for _ in range(C - len(classes)):
-        lanes.append(lanes[0])
-    lane_src = np.asarray(lanes, dtype=np.int32)
-    lane_pat = np.asarray([[pat_row[s] for s in row] for row in lanes],
-                          dtype=np.int32)
-    lane_valid = np.zeros((C, W), dtype=np.float32)
-    for i, cls in enumerate(classes):
-        lane_valid[i, :len(cls)] = 1.0
-
-    # batch-build each field's patches at the shared tile, then stack the
-    # unique target rows in merged order
-    by_field = {}
-    for m in uniq:
-        f, s = owner(m)
-        by_field.setdefault(f, []).append(s)
-    for f, ss in by_field.items():
-        states[f].build_patches(ss, tile=P)
-
-    def patch_of(m):
-        f, s = owner(m)
-        return states[f].patch(s, tile=P)
-
-    pad_rows = [uniq[0]] * (T_pad - len(uniq))
-    stacked = stack_patches([patch_of(m) for m in uniq + pad_rows])
-
-    counts_by_src = np.zeros(S_tot, dtype=np.float32)
+    counts_by_src = {}
     fresh_by_src = np.zeros((S_tot, 44))
-    for m in uniq:
-        f, s = owner(m)
-        counts_by_src[m] = states[f]._pixel_counts[(s, P)]
-        fresh_by_src[m] = generic_init_source(states[f].catalog[s].pos)
-    pix_counts = counts_by_src[lane_src]
-    fresh_vp0 = fresh_by_src[lane_src]
 
     # merged neighbor tables: offset each field's indices (no cross-field
     # edges exist); merged mutable state by concatenation
@@ -690,17 +644,82 @@ def _fused_joint_run_multi(states, classes, newton_config, n_sweeps,
         elbos[sl] = st.elbos
         convs[sl] = st.converged
 
-    with telemetry.launch_timer(
-            f"fused F={len(states)} C={len(classes)}/{C} W={W} P={P} "
-            f"steps={len(classes) * (n_sweeps + n_restart)}"):
-        out = _fused_joint_program(
-            jnp.asarray(vps), jnp.asarray(elbos), jnp.asarray(convs),
-            jnp.zeros(S_pad, jnp.int32), stacked,
-            jnp.asarray(len(classes), jnp.int32), lane_src, lane_pat,
-            lane_valid, nb_idx[lane_src], nb_mask[lane_src],
-            fresh_vp0, pix_counts, n_sweeps=n_sweeps, n_restart=n_restart,
-            config=newton_config, mesh=mesh)
-        out = jax.block_until_ready(out)
+    buckets = []
+    for t in tiles:
+        uniq = uniq_t[t]
+        pat_row = {m: i for i, m in enumerate(uniq)}
+        W = W_t[t]
+
+        # batch-build each field's bucket-t patches at tile t
+        by_field = {}
+        for m in uniq:
+            f, s = owner(m)
+            by_field.setdefault(f, []).append(s)
+        for f, ss in by_field.items():
+            states[f].build_patches(ss, tile=t)
+
+        def patch_of(m, t=t):
+            f, s = owner(m)
+            return states[f].patch(s, tile=t)
+
+        pad_rows = [uniq[0]] * (T_t[t] - len(uniq))
+        stacked = stack_patches([patch_of(m) for m in uniq + pad_rows])
+
+        for m in uniq:
+            f, s = owner(m)
+            counts_by_src[m] = states[f]._pixel_counts[(s, t)]
+            fresh_by_src[m] = generic_init_source(states[f].catalog[s].pos)
+
+        # lanes: pad each (class, bucket) group with its own first member
+        # (duplicate lanes scatter bit-identical values); empty groups
+        # carry uniq[0] but never execute (has[c] gates the sub-fit).
+        lanes, has = [], []
+        for g in grp[t]:
+            fill = g[0] if g else uniq[0]
+            lanes.append(list(g) + [fill] * (W - len(g)))
+            has.append(bool(g))
+        for _ in range(C - len(classes)):
+            lanes.append([uniq[0]] * W)
+            has.append(False)
+        lane_src = np.asarray(lanes, dtype=np.int32)
+        lane_valid = np.zeros((C, W), dtype=np.float32)
+        for i, g in enumerate(grp[t]):
+            lane_valid[i, :len(g)] = 1.0
+        buckets.append({
+            "patches": stacked,
+            "lane_src": lane_src,
+            "lane_pat": np.asarray([[pat_row[m] for m in row]
+                                    for row in lanes], dtype=np.int32),
+            "lane_valid": lane_valid,
+            "nb_idx": nb_idx[lane_src],
+            "nb_mask": nb_mask[lane_src],
+            "fresh_vp0": fresh_by_src[lane_src],
+            "pix_counts": np.asarray(
+                [[counts_by_src[m] for m in row] for row in lanes],
+                dtype=np.float32),
+            "has": np.asarray(has, dtype=bool),
+        })
+
+    label = (f"fused F={len(states)} C={len(classes)}/{C} "
+             + " ".join(f"P{t}:W={W_t[t]}" for t in tiles)
+             + f" steps={len(classes) * (n_sweeps + n_restart)}")
+    t0 = telemetry.now()
+    out = _fused_joint_program(
+        jnp.asarray(vps), jnp.asarray(elbos), jnp.asarray(convs),
+        jnp.zeros(S_pad, jnp.int32), tuple(buckets),
+        jnp.asarray(len(classes), jnp.int32), n_sweeps=n_sweeps,
+        n_restart=n_restart, config=newton_config, mesh=mesh)
+    return {"out": out, "states": states, "offsets": offsets,
+            "n_fits": n_targets * (n_sweeps + n_restart),
+            "t0": t0, "label": label}
+
+
+def _fused_joint_finish(handle):
+    """Block on a _fused_joint_dispatch launch and apply its results back
+    to every field's InferenceState (+ telemetry)."""
+    out = jax.block_until_ready(handle["out"])
+    telemetry.record_launch_wall(handle["t0"], handle["label"])
+    states, offsets = handle["states"], handle["offsets"]
     vps_o, elbos_o, conv_o, iters_o, rv, tv, ri = out
     for f, st in enumerate(states):
         o, S = int(offsets[f]), len(st.catalog)
@@ -708,10 +727,21 @@ def _fused_joint_run_multi(states, classes, newton_config, n_sweeps,
         st.elbos = np.asarray(elbos_o)[o:o + S]
         st.converged = np.asarray(conv_o)[o:o + S]
         st.iters += np.asarray(iters_o)[o:o + S]
-    telemetry.counters.sources_fit += n_targets * (n_sweeps + n_restart)
+    telemetry.counters.sources_fit += handle["n_fits"]
     telemetry.counters.newton_iters += int(ri)
     telemetry.counters.pixel_visits += int(rv)
     telemetry.counters.padded_visits += int(max(float(tv) - float(rv), 0.0))
+
+
+def _fused_joint_run_multi(states, classes, newton_config, n_sweeps,
+                           n_restart, mesh=None):
+    """Dispatch + finish in one call (the non-pipelined path). Returns
+    False if staging exceeded the device budget."""
+    handle = _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
+                                   n_restart, mesh=mesh)
+    if handle is None:
+        return False
+    _fused_joint_finish(handle)
     return True
 
 
@@ -806,7 +836,7 @@ def color_classes(targets, neighbor_map, rng=None, tile=None):
     return classes
 
 
-def fused_color_classes(targets, neighbor_map, rng=None):
+def fused_color_classes(targets, neighbor_map, rng=None, tile=None):
     """Conflict-free classes minimizing the fused program's device cost.
 
     The fused schedule's cost per pass is k * W lane-steps, W =
@@ -821,40 +851,59 @@ def fused_color_classes(targets, neighbor_map, rng=None):
     ~2-3) routinely admit k below max-degree+1 when classes may hold any
     non-conflicting source up to the cap — measured on the 128-source
     field benchmark: 6 classes of <=24 (8 * 32 = 256 padded lane-steps per
-    pass) -> 4 classes of 32 (128 lane-steps)."""
+    pass) -> 4 classes of 32 (128 lane-steps).
+
+    tile: optional {source: tile_size}. The fused program stages each tile
+    bucket at its OWN width and pixel size (lane cost W_t * P_t^2), so the
+    packer both weighs widths by P^2 and caps per-(class, bucket) group
+    sizes at that bucket's padded width — a class randomly hoarding the
+    64px sources would otherwise set the whole schedule's widest (and
+    priciest) lane grid."""
     rng = rng or np.random.default_rng(42)
     n = len(targets)
-    floor = min(32, _next_pow2(max(n, 1)))
+    tile_of = (lambda s: int(tile[s])) if tile is not None else (lambda s: 0)
+    n_t = {}
+    for s in targets:
+        t = tile_of(s)
+        n_t[t] = n_t.get(t, 0) + 1
 
-    def width(k):
-        return max(floor, _next_pow2(-(-n // k)))
+    def width_t(t, k):
+        floor = min(32, _next_pow2(max(n_t[t], 1)))
+        return max(floor, _next_pow2(-(-n_t[t] // k)))
 
-    def try_capped(k, cap):
+    def cost(k):
+        return k * sum(width_t(t, k) * max(t, 1) ** 2 for t in n_t)
+
+    def try_capped(k, caps):
         for _ in range(4):
             order = list(targets)
             rng.shuffle(order)
             order.sort(key=lambda s: -len(neighbor_map.get(s, ())))
             classes = [[] for _ in range(k)]
             members = [set() for _ in range(k)]
+            counts = [dict() for _ in range(k)]
             ok = True
             for s in order:
                 nbs = neighbor_map.get(s, ())
+                t = tile_of(s)
                 cands = [c for c in range(k)
-                         if len(classes[c]) < cap
+                         if counts[c].get(t, 0) < caps[t]
                          and not any(nb in members[c] for nb in nbs)]
                 if not cands:
                     ok = False
                     break
-                c = min(cands, key=lambda c: len(classes[c]))
+                c = min(cands, key=lambda c: (counts[c].get(t, 0),
+                                              len(classes[c])))
                 classes[c].append(s)
                 members[c].add(s)
+                counts[c][t] = counts[c].get(t, 0) + 1
             if ok:
                 return [c for c in classes if c]
         return None
 
-    ks = sorted(range(1, n + 1), key=lambda k: (k * width(k), k))
+    ks = sorted(range(1, n + 1), key=lambda k: (cost(k), k))
     for k in ks:
-        classes = try_capped(k, width(k))
+        classes = try_capped(k, {t: width_t(t, k) for t in n_t})
         if classes is not None:
             return classes
     return color_classes(targets, neighbor_map, rng)  # unreachable fallback
@@ -934,8 +983,9 @@ def one_node_joint_infer(catalog, images, target_sources=None,
             # the balanced host-path classes (also what the bit-exactness
             # test pins).
             if os.environ.get("CELESTE_FUSED_PACK", "1") not in ("0",):
-                fused_cls = fused_color_classes(targets, nb_for_targets,
-                                                np.random.default_rng(seed))
+                fused_cls = fused_color_classes(
+                    targets, nb_for_targets, np.random.default_rng(seed),
+                    tile={s: int(st.tile[s]) for s in targets})
             else:
                 fused_cls = sweeps[0]
             if _fused_joint_run(st, fused_cls, newton_config,
@@ -998,28 +1048,9 @@ def joint_infer_fields(fields, config=Config(),
     (ParallelRun.jl:302-369) — which never shared a thread pool across
     boxes. Falls back to per-field one_node_joint_infer when the merged
     staging exceeds the device budget."""
-    states = [InferenceState(f["catalog"], f["images"], config,
-                             f.get("target_sources"), max_neighbors,
-                             active_boxes=f.get("active_boxes"))
-              for f in fields]
-    assert len({len(st.images) for st in states}) <= 1, \
-        "all fields must have the same number of bands"
-
-    offsets = np.cumsum([0] + [len(st.catalog) for st in states])
-    merged_targets, merged_nb = [], {}
-    for f, st in enumerate(states):
-        o = int(offsets[f])
-        tset = set(st.targets)
-        for s in st.targets:
-            merged_targets.append(o + s)
-            merged_nb[o + s] = [o + n for n in st.neighbor_map[s]
-                                if n in tset]
-
+    states, classes = _merged_states_classes(fields, config, max_neighbors,
+                                             seed)
     telemetry.counters.reset()
-    classes = fused_color_classes(merged_targets, merged_nb,
-                                  np.random.default_rng(seed))
-    Log.info(f"joint infer (fields): {len(states)} fields, "
-             f"{len(merged_targets)} sources, {len(classes)} merged classes")
     ok = _fused_joint_run_multi(states, classes, newton_config,
                                 n_sweeps=config.num_joint_vi_iters,
                                 n_restart=1 if restart_final else 0,
@@ -1032,6 +1063,92 @@ def joint_infer_fields(fields, config=Config(),
             active_boxes=f.get("active_boxes")) for f in fields]
     telemetry.counters.report("joint infer (fields, fused)")
     return [_collect_results(st) for st in states]
+
+
+def _merged_states_classes(fields, config, max_neighbors, seed):
+    """Per-field InferenceStates + merged-id conflict classes for one fused
+    multi-field launch (the prepare step shared by joint_infer_fields and
+    the pipelined driver)."""
+    states = [InferenceState(f["catalog"], f["images"], config,
+                             f.get("target_sources"), max_neighbors,
+                             active_boxes=f.get("active_boxes"))
+              for f in fields]
+    assert len({len(st.images) for st in states}) <= 1, \
+        "all fields must have the same number of bands"
+
+    offsets = np.cumsum([0] + [len(st.catalog) for st in states])
+    merged_targets, merged_nb, merged_tile = [], {}, {}
+    for f, st in enumerate(states):
+        o = int(offsets[f])
+        tset = set(st.targets)
+        for s in st.targets:
+            merged_targets.append(o + s)
+            merged_nb[o + s] = [o + n for n in st.neighbor_map[s]
+                                if n in tset]
+            merged_tile[o + s] = int(st.tile[s])
+
+    classes = fused_color_classes(merged_targets, merged_nb,
+                                  np.random.default_rng(seed),
+                                  tile=merged_tile)
+    Log.info(f"joint infer (fields): {len(states)} fields, "
+             f"{len(merged_targets)} sources, {len(classes)} merged classes")
+    return states, classes
+
+
+def joint_infer_fields_pipelined(groups, config=Config(),
+                                 newton_config=NewtonConfig(),
+                                 max_neighbors=8, seed=42,
+                                 restart_final=True, mesh=None):
+    """Farm-worker pipeline over fused multi-field launches.
+
+    `groups` is an ITERABLE of `fields` lists (each group = one fused
+    launch, same schema as joint_infer_fields); yields one result list per
+    group, in order. Each group's host work — pulling the next group from
+    the (typically lazy) iterable, so the caller's image loading and
+    detection too, plus patch gathers and lane staging here — overlaps the
+    PREVIOUS group's in-flight device launch: JAX dispatch is async, so the
+    chip crunches group k while the host stages k+1. This is the
+    double-buffered box staging the round-1 field study identified as the
+    remaining e2e bottleneck; reference analog: each farm worker loads its
+    next box while threads fit the current one (ParallelRun.jl:302-369 x
+    contrib/nersc/infer.sl box farm).
+
+    Two groups' staging buffers are in flight at once, so the per-launch
+    device budget is halved vs joint_infer_fields. A group that still
+    exceeds it drains the pipeline and falls back to the sequential
+    per-field path. Telemetry counters are NOT reset per group — reset
+    before iterating for a per-farm report."""
+    pending = None
+
+    def finish(p):
+        handle, states = p
+        _fused_joint_finish(handle)
+        return [_collect_results(st) for st in states]
+
+    n_sweeps = config.num_joint_vi_iters
+    n_restart = 1 if restart_final else 0
+    for fields in groups:
+        states, classes = _merged_states_classes(fields, config,
+                                                 max_neighbors, seed)
+        handle = _fused_joint_dispatch(states, classes, newton_config,
+                                       n_sweeps=n_sweeps,
+                                       n_restart=n_restart, mesh=mesh,
+                                       budget_bytes=2 << 30)
+        if handle is None:
+            if pending is not None:
+                yield finish(pending)
+                pending = None
+            yield [one_node_joint_infer(
+                f["catalog"], f["images"], f.get("target_sources"), config,
+                newton_config=newton_config, max_neighbors=max_neighbors,
+                seed=seed, restart_final=restart_final, mesh=mesh,
+                active_boxes=f.get("active_boxes")) for f in fields]
+            continue
+        if pending is not None:
+            yield finish(pending)
+        pending = (handle, states)
+    if pending is not None:
+        yield finish(pending)
 
 
 def one_node_single_infer(catalog, images, target_sources=None,
