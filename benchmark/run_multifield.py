@@ -183,7 +183,21 @@ def main():
                                    if all_errs else None),
             "fits": fits,
             "launch_wall_s": round(launch_s, 2),
+            # catalog throughput device-side: detected sources per second
+            # of summed launch wall — the honest farm number now that
+            # isolated targets are fit once instead of riding all
+            # (sweeps + restart) passes as identity re-fits
+            "device_sources_per_sec": (round(n_det / launch_s, 2)
+                                       if launch_s else None),
             "utilization": round(util, 3),
+            # serialized depth: sum over class-steps of max-lane TR steps —
+            # what the device executes end to end (vmapped while_loops run
+            # to the slowest lane); mean iters per fit for contrast
+            "serial_tr_steps": c.serial_steps,
+            "mean_iters_per_fit": (round(c.newton_iters / fits, 1)
+                                   if fits else None),
+            "converged_frac": round(float(np.mean(
+                [r.converged for res in per_field for r in res])), 3),
             "e2e_sources_per_sec": round(n_det / wall, 2),
             "infer_wall_s": round(wall, 1),
             "detect_wall_s": round(t_detect, 1),

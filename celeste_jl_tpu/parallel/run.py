@@ -346,7 +346,8 @@ class InferenceState:
         return int(d["cursor"])
 
     def dispatch_group(self, idx, newton_config: NewtonConfig, use_bg=True,
-                       bg_vps=None, fresh_init=False, keep_better=False):
+                       bg_vps=None, fresh_init=False, keep_better=False,
+                       dual_init=False):
         """Dispatch one batched launch over sources `idx` (same tile size),
         padded to a power of two, WITHOUT waiting for the device. Returns a
         pending record for finish_group, or None. Neighbor background is
@@ -361,6 +362,13 @@ class InferenceState:
         neighbor background inside the same launch (one forward eval per
         lane), so the comparison is exact even when neighbors moved since
         the stored ELBO was computed.
+        dual_init: each source rides TWO lanes of the same launch — lane i
+        from the warm vps, lane n+i from generic_init_source — and
+        finish_group keeps the better-ELBO basin per source. The isolated
+        targets' replacement for the sweep schedule's restart pass: both
+        lanes see the same static background so the comparison is exact,
+        and the extra lanes are near-free (per-step cost is ~width-
+        independent on TPU, benchmark/multifield_results.md).
         """
         n = len(idx)
         if n == 0:
@@ -371,13 +379,20 @@ class InferenceState:
         # them up to one shared shape costs cheap idle lanes and makes a
         # farm worker's program cache saturate after the first box or two.
         floor = min(32, _next_pow2(max(len(self.targets), 1)))
-        pad = max(_next_pow2(n), floor)
-        idx_p = list(idx) + [idx[0]] * (pad - n)
+        n_lanes = 2 * n if dual_init else n
+        pad = max(_next_pow2(n_lanes), floor)
+        idx_p = list(idx) * (2 if dual_init else 1) \
+            + [idx[0]] * (pad - n_lanes)
         t0 = telemetry.now()
         patches, pixel_counts = self.stacked_patches(idx_p)
         if fresh_init:
             vp0 = jnp.asarray(np.stack(
                 [generic_init_source(self.catalog[s].pos) for s in idx_p]))
+        elif dual_init:
+            warm = self.vps[idx_p]  # fancy indexing: a copy, safe to edit
+            warm[n:n_lanes] = np.stack(
+                [generic_init_source(self.catalog[s].pos) for s in idx])
+            vp0 = jnp.asarray(warm)
         else:
             vp0 = jnp.asarray(self.vps[idx_p])
         # Large waves get the staged-compaction driver (per-lane exact, see
@@ -413,8 +428,9 @@ class InferenceState:
             Log.exception(exc)
             telemetry.counters.failures += len(idx)
             return None
-        return dict(idx=idx, n=n, pad=pad, res=res, t0=t0, inc=inc,
-                    pixel_counts=pixel_counts, keep_better=keep_better,
+        return dict(idx=idx, n=n, n_lanes=n_lanes, pad=pad, res=res, t0=t0,
+                    inc=inc, pixel_counts=pixel_counts,
+                    keep_better=keep_better,
                     pixels_per_lane_total=int(np.prod(patches.mask.shape[1:])),
                     label=f"n={n} pad={pad} P{patches.pixels.shape[-1]}")
 
@@ -427,11 +443,12 @@ class InferenceState:
         if pending is None:
             return
         idx, n, res = pending["idx"], pending["n"], pending["res"]
+        nl = pending.get("n_lanes", n)
         try:
-            vp = np.asarray(res.vp)[:n]
-            elbo = np.asarray(res.elbo)[:n]
-            conv = np.asarray(res.converged)[:n]
-            iters = np.asarray(res.iters)[:n]
+            vp = np.asarray(res.vp)[:nl]
+            elbo = np.asarray(res.elbo)[:nl]
+            conv = np.asarray(res.converged)[:nl]
+            iters = np.asarray(res.iters)[:nl]
             f_calls = np.asarray(res.f_calls)
         except Exception as exc:
             # Runtime failures of an async launch surface at the transfer.
@@ -441,6 +458,15 @@ class InferenceState:
             telemetry.counters.failures += len(idx)
             return
         telemetry.record_launch_wall(pending["t0"], pending["label"])
+        if nl != n:
+            # dual_init reduction: lane i (warm) vs lane n+i (generic init)
+            # of the same source — keep the better basin. Same objective,
+            # same static background, so the ELBO comparison is exact.
+            fresh = elbo[n:nl] > elbo[:n]
+            vp = np.where(fresh[:, None], vp[n:nl], vp[:n])
+            elbo = np.where(fresh, elbo[n:nl], elbo[:n])
+            conv = np.where(fresh, conv[n:nl], conv[:n])
+            iters = iters[:n] + iters[n:nl]
         idxa = np.asarray(idx)
         if pending["keep_better"]:
             # Exact acceptance: compare against the incumbent's ELBO
@@ -457,8 +483,8 @@ class InferenceState:
         self.converged[idxa] = conv
         self.iters[np.asarray(idx)] += iters
         telemetry.record_fit_launch(
-            n, pending["pad"] - n,
-            pixels_per_lane_real=pending["pixel_counts"][:n],
+            nl, pending["pad"] - nl,
+            pixels_per_lane_real=pending["pixel_counts"][:nl],
             pixels_per_lane_total=pending["pixels_per_lane_total"],
             f_calls=f_calls)
 
@@ -496,7 +522,7 @@ def _fused_joint_program(vps, elbos, conv, iters, buckets, c_real,
                                           jnp.float32))
 
     def bucket_step(bk, c, is_restart, carry):
-        vps, elbos, conv, iters, rv, tv, ri = carry
+        vps, elbos, conv, iters, rv, tv, ri, ss = carry
         lane_total = float(np.prod(bk["patches"].mask.shape[1:]))
         take = lambda t: jax.lax.dynamic_index_in_dim(t, c, keepdims=False)
         src = take(bk["lane_src"])
@@ -551,7 +577,10 @@ def _fused_joint_program(vps, elbos, conv, iters, buckets, c_real,
         rv = rv + jnp.sum(jnp.where(real, cnt * fc, 0.0))
         tv = tv + lane_total * jnp.sum(fc)
         ri = ri + jnp.sum(jnp.where(real, res.iters, 0)).astype(rv.dtype)
-        return (vps, elbos, conv, iters, rv, tv, ri)
+        # serialized depth: the step's while_loop runs every lane until the
+        # SLOWEST lane converges — max-lane iters is what the device pays
+        ss = ss + jnp.max(res.iters).astype(rv.dtype)
+        return (vps, elbos, conv, iters, rv, tv, ri, ss)
 
     def body(step, carry):
         c = step % c_real
@@ -564,7 +593,7 @@ def _fused_joint_program(vps, elbos, conv, iters, buckets, c_real,
         return carry
 
     return jax.lax.fori_loop(
-        0, n_steps, body, (vps, elbos, conv, iters, f32, f32, f32))
+        0, n_steps, body, (vps, elbos, conv, iters, f32, f32, f32, f32))
 
 
 def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
@@ -710,25 +739,37 @@ def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
         jnp.asarray(len(classes), jnp.int32), n_sweeps=n_sweeps,
         n_restart=n_restart, config=newton_config, mesh=mesh)
     return {"out": out, "states": states, "offsets": offsets,
-            "n_fits": n_targets * (n_sweeps + n_restart),
+            "touched": sorted({m for cls in classes for m in cls}),
+            "n_fits": sum(len(cls) for cls in classes)
+            * (n_sweeps + n_restart),
             "t0": t0, "label": label}
 
 
 def _fused_joint_finish(handle):
     """Block on a _fused_joint_dispatch launch and apply its results back
-    to every field's InferenceState (+ telemetry)."""
+    to every field's InferenceState (+ telemetry). Only the rows the
+    schedule actually fit (`touched`) are written: isolated targets are
+    fit by a SEPARATE concurrent launch (_fit_isolated_multi) whose host
+    results must not be clobbered by the staged (pre-fit) values riding
+    along in the fused output table."""
     out = jax.block_until_ready(handle["out"])
     telemetry.record_launch_wall(handle["t0"], handle["label"])
     states, offsets = handle["states"], handle["offsets"]
-    vps_o, elbos_o, conv_o, iters_o, rv, tv, ri = out
+    vps_o, elbos_o, conv_o, iters_o, rv, tv, ri, ss = out
+    touched = np.asarray(handle["touched"], dtype=np.int64)
+    vps_o, elbos_o = np.asarray(vps_o), np.asarray(elbos_o)
+    conv_o, iters_o = np.asarray(conv_o), np.asarray(iters_o)
     for f, st in enumerate(states):
         o, S = int(offsets[f]), len(st.catalog)
-        st.vps = np.asarray(vps_o)[o:o + S]
-        st.elbos = np.asarray(elbos_o)[o:o + S]
-        st.converged = np.asarray(conv_o)[o:o + S]
-        st.iters += np.asarray(iters_o)[o:o + S]
+        rows = touched[(touched >= o) & (touched < o + S)]
+        loc = rows - o
+        st.vps[loc] = vps_o[rows]
+        st.elbos[loc] = elbos_o[rows]
+        st.converged[loc] = conv_o[rows]
+        st.iters[loc] += iters_o[rows]
     telemetry.counters.sources_fit += handle["n_fits"]
     telemetry.counters.newton_iters += int(ri)
+    telemetry.counters.serial_steps += int(ss)
     telemetry.counters.pixel_visits += int(rv)
     telemetry.counters.padded_visits += int(max(float(tv) - float(rv), 0.0))
 
@@ -750,6 +791,27 @@ def _fused_joint_run(st: "InferenceState", classes, newton_config,
     """Single-field wrapper over _fused_joint_run_multi."""
     return _fused_joint_run_multi([st], classes, newton_config, n_sweeps,
                                   n_restart, mesh=mesh)
+
+
+def _capped_step_config(newton_config: NewtonConfig, config: Config):
+    """Per-class-step Hessian-refresh budget for the JOINT schedules
+    (Config.joint_step_refreshes; CELESTE_STEP_CAP overrides for A/B).
+
+    A batched class-step runs every lane until the slowest lane converges;
+    one never-converging straggler otherwise burns the full single-fit cap
+    (max_iters, the reference's 50) on each of its (sweeps + restart)
+    steps — measured 4x the fused multi-field schedule's wall. Truncated
+    lanes resume next sweep from their current vp with re-centered
+    position bounds, so total optimization opportunity stays
+    sweeps x cap + restart cap. Applied identically to the fused and
+    host-driven paths (the bit-exactness pair, tests/test_infer.py)."""
+    import os
+
+    cap = int(os.environ.get("CELESTE_STEP_CAP", "0")) or \
+        config.joint_step_refreshes
+    if cap and cap < newton_config.max_iters:
+        return newton_config._replace(max_iters=cap)
+    return newton_config
 
 
 def _waves(components):
@@ -837,76 +899,84 @@ def color_classes(targets, neighbor_map, rng=None, tile=None):
 
 
 def fused_color_classes(targets, neighbor_map, rng=None, tile=None):
-    """Conflict-free classes minimizing the fused program's device cost.
+    """Conflict-free classes minimizing the fused program's SERIALIZED
+    sub-fit count — the latency cost model.
 
-    The fused schedule's cost per pass is k * W lane-steps, W =
-    next_pow2(max class size) (floored at 32 for compile-cache stability):
-    every class is padded to the same width and every lane runs a full
-    Newton fit. color_classes minimizes the number of classes (~max degree
-    + 1) and balances within it, but fewer classes is NOT cheaper once the
-    max class pads up a power of two. Here: for each candidate class count
-    k from 1 up, try a width-capped greedy coloring (cap = the k-class
-    power-of-two width) with a few shuffle retries, and keep the feasible
-    k with the smallest k * W_k. Sparse sky overlap graphs (mean degree
-    ~2-3) routinely admit k below max-degree+1 when classes may hold any
-    non-conflicting source up to the cap — measured on the 128-source
-    field benchmark: 6 classes of <=24 (8 * 32 = 256 padded lane-steps per
-    pass) -> 4 classes of 32 (128 lane-steps).
+    Measured on TPU (benchmark/multifield_results.md + the 128/512-lane
+    bench sweep): one serialized TR step of a (class, tile-bucket) sub-fit
+    costs ~11-19 ms nearly INDEPENDENT of lane width from 32 to 1024
+    lanes — the while_loop body is latency-bound (batched eigh every
+    hess_every steps + a long chain of small per-step ops), not
+    pixel-throughput-bound. Schedule wall is therefore
 
-    tile: optional {source: tile_size}. The fused program stages each tile
-    bucket at its OWN width and pixel size (lane cost W_t * P_t^2), so the
-    packer both weighs widths by P^2 and caps per-(class, bucket) group
-    sizes at that bucket's padded width — a class randomly hoarding the
-    64px sources would otherwise set the whole schedule's widest (and
-    priciest) lane grid."""
+        sum over (class, bucket) sub-fits of max-lane TR steps x ~15 ms,
+
+    so the packer minimizes the NUMBER of sub-fits, not padded lane-steps
+    (the previous k*W model — idle lanes in a latency-bound body are
+    nearly free):
+
+      * classes are TILE-PURE: each class holds sources of ONE tile
+        bucket, so a class step runs exactly one sub-fit (the mixed
+        classes of the k*W packer ran one sub-fit per bucket PRESENT,
+        multiplying depth by ~the bucket count), and cross-tile conflicts
+        are separated for free;
+      * each tile uses its greedy-coloring MINIMUM class count (~max
+        intra-tile conflict degree + 1, with shuffle retries), capped
+        only by a per-sub-fit pixel budget (W x P^2 <= 2^21 lane-pixels)
+        that bounds staging/activation memory.
+
+    tile: optional {source: tile_size}; without it all sources share one
+    bucket and this reduces to minimum-k capped coloring."""
     rng = rng or np.random.default_rng(42)
-    n = len(targets)
     tile_of = (lambda s: int(tile[s])) if tile is not None else (lambda s: 0)
-    n_t = {}
+    by_tile = {}
     for s in targets:
-        t = tile_of(s)
-        n_t[t] = n_t.get(t, 0) + 1
+        by_tile.setdefault(tile_of(s), []).append(s)
 
-    def width_t(t, k):
-        floor = min(32, _next_pow2(max(n_t[t], 1)))
-        return max(floor, _next_pow2(-(-n_t[t] // k)))
+    out = []
+    for t in sorted(by_tile):
+        members = by_tile[t]
+        mset = set(members)
+        cap = max(32, (1 << 21) // max(t, 1) ** 2)
+        k0 = max(1, -(-len(members) // cap))
+        for k in range(k0, len(members) + 1):
+            classes = _try_color_capped(members, mset, neighbor_map, k,
+                                        cap, rng)
+            if classes is not None:
+                out.extend(classes)
+                break
+    out.sort(key=len, reverse=True)
+    return out
 
-    def cost(k):
-        return k * sum(width_t(t, k) * max(t, 1) ** 2 for t in n_t)
 
-    def try_capped(k, caps):
-        for _ in range(4):
-            order = list(targets)
-            rng.shuffle(order)
-            order.sort(key=lambda s: -len(neighbor_map.get(s, ())))
-            classes = [[] for _ in range(k)]
-            members = [set() for _ in range(k)]
-            counts = [dict() for _ in range(k)]
-            ok = True
-            for s in order:
-                nbs = neighbor_map.get(s, ())
-                t = tile_of(s)
-                cands = [c for c in range(k)
-                         if counts[c].get(t, 0) < caps[t]
-                         and not any(nb in members[c] for nb in nbs)]
-                if not cands:
-                    ok = False
-                    break
-                c = min(cands, key=lambda c: (counts[c].get(t, 0),
-                                              len(classes[c])))
-                classes[c].append(s)
-                members[c].add(s)
-                counts[c][t] = counts[c].get(t, 0) + 1
-            if ok:
-                return [c for c in classes if c]
-        return None
-
-    ks = sorted(range(1, n + 1), key=lambda k: (cost(k), k))
-    for k in ks:
-        classes = try_capped(k, {t: width_t(t, k) for t in n_t})
-        if classes is not None:
-            return classes
-    return color_classes(targets, neighbor_map, rng)  # unreachable fallback
+def _try_color_capped(members, mset, neighbor_map, k, cap, rng):
+    """Greedy k-coloring of `members` (conflicts WITHIN `mset` only; the
+    caller guarantees sources outside it land in other classes) with class
+    size <= cap, highest-degree-first with a few shuffle retries. None if
+    infeasible at this k."""
+    deg = {s: sum(nb in mset for nb in neighbor_map.get(s, ()))
+           for s in members}
+    for _ in range(4):
+        order = list(members)
+        rng.shuffle(order)
+        order.sort(key=lambda s: -deg[s])
+        classes = [[] for _ in range(k)]
+        sets = [set() for _ in range(k)]
+        ok = True
+        for s in order:
+            nbs = [nb for nb in neighbor_map.get(s, ()) if nb in mset]
+            cands = [c for c in range(k)
+                     if len(classes[c]) < cap
+                     and not any(nb in sets[c] for nb in nbs)]
+            if not cands:
+                ok = False
+                break
+            c = min(cands, key=lambda c: len(classes[c]))
+            classes[c].append(s)
+            sets[c].add(s)
+        if ok:
+            return [c for c in classes if c]
+    return None
 
 
 def one_node_joint_infer(catalog, images, target_sources=None,
@@ -937,6 +1007,7 @@ def one_node_joint_infer(catalog, images, target_sources=None,
     same lock-in and no restart; this is a strict improvement."""
     import os
 
+    step_config = _capped_step_config(newton_config, config)
     st = state or InferenceState(catalog, images, config, target_sources,
                                  max_neighbors, active_boxes=active_boxes)
     targets = st.targets
@@ -945,9 +1016,21 @@ def one_node_joint_infer(catalog, images, target_sources=None,
                       for s in targets}
     rng = np.random.default_rng(seed)
     if batch_size is None:
-        # TPU-default schedule: conflict-free color classes, widest first.
-        sweeps = [color_classes(targets, nb_for_targets, rng)]
-        Log.info(f"joint infer: {len(targets)} sources, "
+        # TPU-default schedule: only CONSTRAINED targets (those sharing
+        # pixels with another target) ride the sweep/restart schedule.
+        # An isolated target's ELBO shares no term with any other target,
+        # so re-fitting it every sweep and restarting it from the same
+        # generic init it started from are identity operations — it is
+        # fit ONCE, at full budget, in the widest compacted launch shape
+        # (bench.py's machine) with its non-target neighbors as static
+        # background. Sparse sky fields are mostly isolated targets, so
+        # this removes most of the schedule's lane-steps outright.
+        isolated = [s for s in targets if not nb_for_targets[s]]
+        constrained = [s for s in targets if nb_for_targets[s]]
+        sweeps = [color_classes(constrained, nb_for_targets, rng)
+                  if constrained else []]
+        Log.info(f"joint infer: {len(targets)} sources "
+                 f"({len(isolated)} isolated), "
                  f"{len(sweeps[0])} conflict-free color classes")
     else:
         # reference schedule: Cyclades batches of `batch_size`, CC waves
@@ -962,33 +1045,52 @@ def one_node_joint_infer(catalog, images, target_sources=None,
         cursor = st.restore(checkpoint_path)
         Log.info(f"joint infer: resuming at step {cursor}")
 
+    def fit_isolated():
+        # full-budget single fits (newton_config, not the per-step cap),
+        # per-tile-bucket launches in power-of-two chunks (independent
+        # fits, so chunking is exact); dispatch_group compacts wide ones.
+        # dual_init: warm + generic-init lanes, keep the better basin —
+        # the restart pass these sources no longer ride, at ~no extra wall
+        pend = [st.dispatch_group(chunk, newton_config, use_bg=True,
+                                  dual_init=True)
+                for P in TILE_BUCKETS
+                for chunk in _pow2_chunks(
+                    [s for s in isolated if st.tile[s] == P],
+                    cap=_dual_chunk_cap(P))]
+        for p in pend:
+            st.finish_group(p)
+
     # Fused schedule (the TPU default): the whole sweep/restart schedule is
     # one device launch (_fused_joint_program) instead of one launch per
     # (sweep, class, tile bucket) — identical update order, no per-launch
     # host round trips. The host-driven loop below remains for Cyclades
     # scheduling (batch_size), mid-box checkpointing, oversized stagings,
     # and CELESTE_FUSED=0.
+    isolated_done = False
     if (batch_size is None and not checkpoint_path and targets
             and os.environ.get("CELESTE_FUSED", "1") != "0"):
         telemetry.counters.reset()
         try:
-            # Default schedule = the width-capped packer
-            # (fused_color_classes): ~15-25% fewer padded lane-steps than
-            # the balanced coloring. Wider classes mean fewer Gauss-Seidel
-            # stages per sweep; a 5-field A/B on the field benchmark
-            # measured this accuracy-NEUTRAL (mean type accuracy 0.911
-            # capped vs 0.908 balanced vs 0.910 reference-style Cyclades
-            # waves — field draw variance dominates, see
-            # benchmark/field_results.md). CELESTE_FUSED_PACK=0 restores
-            # the balanced host-path classes (also what the bit-exactness
-            # test pins).
+            fit_isolated()
+            isolated_done = True
+            if not constrained:
+                telemetry.counters.report("joint infer (fused)")
+                return _collect_results(st)
+            # Default schedule = the tile-pure minimum-class packer
+            # (fused_color_classes, latency cost model: sub-fit count, not
+            # padded lane-steps). Packer choice is accuracy-NEUTRAL (a
+            # 5-field A/B measured mean type accuracy 0.911 capped vs
+            # 0.908 balanced vs 0.910 reference-style Cyclades waves —
+            # field draw variance dominates, benchmark/field_results.md).
+            # CELESTE_FUSED_PACK=0 restores the balanced host-path classes
+            # (also what the bit-exactness test pins).
             if os.environ.get("CELESTE_FUSED_PACK", "1") not in ("0",):
                 fused_cls = fused_color_classes(
-                    targets, nb_for_targets, np.random.default_rng(seed),
-                    tile={s: int(st.tile[s]) for s in targets})
+                    constrained, nb_for_targets, np.random.default_rng(seed),
+                    tile={s: int(st.tile[s]) for s in constrained})
             else:
                 fused_cls = sweeps[0]
-            if _fused_joint_run(st, fused_cls, newton_config,
+            if _fused_joint_run(st, fused_cls, step_config,
                                 n_sweeps=config.num_joint_vi_iters,
                                 n_restart=1 if restart_final else 0,
                                 mesh=mesh):
@@ -1005,12 +1107,15 @@ def one_node_joint_infer(catalog, images, target_sources=None,
         # transfers overlap with device compute instead of paying one
         # blocking round trip per bucket.
         pend = [st.dispatch_group([s for s in cls if st.tile[s] == P],
-                                  newton_config, use_bg=True, **kw)
+                                  step_config, use_bg=True, **kw)
                 for P in TILE_BUCKETS]
         for p in pend:
             st.finish_group(p)
 
-    telemetry.counters.reset()
+    if not isolated_done:
+        telemetry.counters.reset()
+    if batch_size is None and not isolated_done and cursor == 0:
+        fit_isolated()
     step = 0
     for it in range(config.num_joint_vi_iters):
         for groups in sweeps:
@@ -1048,19 +1153,27 @@ def joint_infer_fields(fields, config=Config(),
     (ParallelRun.jl:302-369) — which never shared a thread pool across
     boxes. Falls back to per-field one_node_joint_infer when the merged
     staging exceeds the device budget."""
-    states, classes = _merged_states_classes(fields, config, max_neighbors,
-                                             seed)
+    states, classes, isolated = _merged_states_classes(
+        fields, config, max_neighbors, seed)
+    step_config = _capped_step_config(newton_config, config)
     telemetry.counters.reset()
-    ok = _fused_joint_run_multi(states, classes, newton_config,
-                                n_sweeps=config.num_joint_vi_iters,
-                                n_restart=1 if restart_final else 0,
-                                mesh=mesh)
-    if not ok:
-        return [one_node_joint_infer(
-            f["catalog"], f["images"], f.get("target_sources"), config,
-            newton_config=newton_config, max_neighbors=max_neighbors,
-            seed=seed, restart_final=restart_final, mesh=mesh,
-            active_boxes=f.get("active_boxes")) for f in fields]
+    if classes:
+        handle = _fused_joint_dispatch(states, classes, step_config,
+                                       n_sweeps=config.num_joint_vi_iters,
+                                       n_restart=1 if restart_final else 0,
+                                       mesh=mesh)
+        if handle is None:
+            return [one_node_joint_infer(
+                f["catalog"], f["images"], f.get("target_sources"), config,
+                newton_config=newton_config, max_neighbors=max_neighbors,
+                seed=seed, restart_final=restart_final, mesh=mesh,
+                active_boxes=f.get("active_boxes")) for f in fields]
+        # the isolated launches are independent of the in-flight fused
+        # schedule — they queue behind it on the device, no ordering needed
+        _fit_isolated_multi(states, isolated, newton_config)
+        _fused_joint_finish(handle)
+    else:
+        _fit_isolated_multi(states, isolated, newton_config)
     telemetry.counters.report("joint infer (fields, fused)")
     return [_collect_results(st) for st in states]
 
@@ -1068,7 +1181,11 @@ def joint_infer_fields(fields, config=Config(),
 def _merged_states_classes(fields, config, max_neighbors, seed):
     """Per-field InferenceStates + merged-id conflict classes for one fused
     multi-field launch (the prepare step shared by joint_infer_fields and
-    the pipelined driver)."""
+    the pipelined driver). Targets with no target-neighbor are split out
+    (third return value, merged ids): their fits are independent of the
+    whole schedule (see one_node_joint_infer), so they go to one wide
+    compacted launch (_fit_isolated_multi) instead of riding every
+    sweep + restart step."""
     states = [InferenceState(f["catalog"], f["images"], config,
                              f.get("target_sources"), max_neighbors,
                              active_boxes=f.get("active_boxes"))
@@ -1087,12 +1204,126 @@ def _merged_states_classes(fields, config, max_neighbors, seed):
                                 if n in tset]
             merged_tile[o + s] = int(st.tile[s])
 
-    classes = fused_color_classes(merged_targets, merged_nb,
-                                  np.random.default_rng(seed),
-                                  tile=merged_tile)
+    isolated = [m for m in merged_targets if not merged_nb[m]]
+    constrained = [m for m in merged_targets if merged_nb[m]]
+    classes = (fused_color_classes(constrained, merged_nb,
+                                   np.random.default_rng(seed),
+                                   tile=merged_tile)
+               if constrained else [])
     Log.info(f"joint infer (fields): {len(states)} fields, "
-             f"{len(merged_targets)} sources, {len(classes)} merged classes")
-    return states, classes
+             f"{len(merged_targets)} sources ({len(isolated)} isolated), "
+             f"{len(classes)} merged classes")
+    return states, classes, isolated
+
+
+def _pow2_chunks(seq, floor=32, cap=None):
+    """Split a work list into power-of-two-sized chunks, largest first.
+    Padding a just-over-a-power batch costs ~2x device work (516 lanes pad
+    to 1024); 512 + a 32-padded tail costs ~1x and keeps the compile-key
+    set to O(log n) distinct widths (which the bench programs already
+    populate). Only valid for INDEPENDENT fits — chunks of one conflict
+    class would still be conflict-free, but the isolated fits are the only
+    caller that needs it."""
+    out, i, n = [], 0, len(seq)
+    while n - i >= floor:
+        size = 1 << ((n - i).bit_length() - 1)
+        if cap:
+            size = min(size, cap)
+        out.append(seq[i:i + size])
+        i += size
+    if i < n:
+        out.append(seq[i:])
+    return out
+
+
+def _dual_chunk_cap(P):
+    """Chunk-size cap for dual-init isolated launches: lanes double to 2n,
+    so bound 2n x P^2 lane-pixels at ~2^21 — the widest P<=32 launches keep
+    the bench's 1024-lane program shape while P=128 stagings stay inside
+    the device/upload budget."""
+    return max(32, (1 << 21) // (2 * P * P))
+
+
+def _fit_isolated_multi(states, isolated, newton_config):
+    """Fit merged isolated targets (no target-neighbors) across fields as
+    ONE wide compacted launch per tile bucket — the widest-launch shape
+    (bench.py's machine), at the FULL single-fit budget. Non-target
+    neighbors still enter as fixed catalog-init background. Results are
+    applied to each field's InferenceState."""
+    if not isolated:
+        return
+    offsets = np.cumsum([0] + [len(st.catalog) for st in states])
+
+    def owner(m):
+        f = int(np.searchsorted(offsets, m, side="right") - 1)
+        return f, m - int(offsets[f])
+
+    by_tile = {}
+    for m in isolated:
+        f, s = owner(m)
+        by_tile.setdefault(int(states[f].tile[s]), []).append((f, s))
+
+    def dispatch(t, members):
+        # dual-init lanes: lane i warm (catalog/current init), lane n+i
+        # generic init — the basin probe the sweep schedule's restart pass
+        # gave these sources, in the same launch at ~no extra wall (per-
+        # step cost is ~width-independent). finish keeps the better ELBO.
+        n = len(members)
+        nl = 2 * n
+        pad = max(_next_pow2(nl), 32)  # 32-lane floor: stable compile keys
+        members_p = members + members + [members[0]] * (pad - nl)
+        by_field = {}
+        for f, s in members_p:
+            by_field.setdefault(f, []).append(s)
+        for f, ss in by_field.items():
+            states[f].build_patches(ss)
+        patches = stack_patches([states[f].patch(s) for f, s in members_p])
+        counts = np.array([states[f]._pixel_counts[(s, t)]
+                           for f, s in members_p])
+        vp0 = np.stack([states[f].vps[s] for f, s in members_p])
+        vp0[n:nl] = np.stack(
+            [generic_init_source(states[f].catalog[s].pos)
+             for f, s in members])
+        vp0 = jnp.asarray(vp0)
+        nb_vps = jnp.asarray(np.stack(
+            [states[f].vps[states[f].nb_idx[s]] for f, s in members_p]))
+        nb_mask = jnp.asarray(np.stack(
+            [states[f].nb_mask[s] for f, s in members_p]))
+        t0 = telemetry.now()
+        bg_E, bg_V = _render_neighbor_bg(nb_vps, nb_mask, patches)
+        fit = fit_sources if pad < 256 else partial(
+            fit_sources_compacted, stage1_refreshes=10)
+        res = fit(vp0, patches, bg_E, bg_V, config=newton_config)
+        return (members, n, pad, res, counts, t0,
+                int(np.prod(patches.mask.shape[1:])),
+                f"isolated n={n} pad={pad} P{t}")
+
+    pending = [dispatch(t, members)
+               for t, group in sorted(by_tile.items())
+               for members in _pow2_chunks(group, cap=_dual_chunk_cap(t))]
+
+    for members, n, pad, res, counts, t0, lane_total, label in pending:
+        nl = 2 * n
+        vp = np.asarray(res.vp)[:nl]
+        elbo = np.asarray(res.elbo)[:nl]
+        conv = np.asarray(res.converged)[:nl]
+        iters = np.asarray(res.iters)[:nl]
+        telemetry.record_launch_wall(t0, label)
+        # keep the better basin per source (same objective + background)
+        fresh = elbo[n:nl] > elbo[:n]
+        vp = np.where(fresh[:, None], vp[n:nl], vp[:n])
+        elbo = np.where(fresh, elbo[n:nl], elbo[:n])
+        conv = np.where(fresh, conv[n:nl], conv[:n])
+        it_tot = iters[:n] + iters[n:nl]
+        for i, (f, s) in enumerate(members):
+            states[f].vps[s] = vp[i]
+            states[f].elbos[s] = elbo[i]
+            states[f].converged[s] = conv[i]
+            states[f].iters[s] += it_tot[i]
+        telemetry.record_fit_launch(
+            nl, pad - nl, pixels_per_lane_real=counts[:nl],
+            pixels_per_lane_total=lane_total,
+            f_calls=np.asarray(res.f_calls))
 
 
 def joint_infer_fields_pipelined(groups, config=Config(),
@@ -1119,22 +1350,26 @@ def joint_infer_fields_pipelined(groups, config=Config(),
     per-field path. Telemetry counters are NOT reset per group — reset
     before iterating for a per-farm report."""
     pending = None
+    step_config = _capped_step_config(newton_config, config)
 
     def finish(p):
-        handle, states = p
-        _fused_joint_finish(handle)
+        handle, states, isolated = p
+        _fit_isolated_multi(states, isolated, newton_config)
+        if handle is not None:
+            _fused_joint_finish(handle)
         return [_collect_results(st) for st in states]
 
     n_sweeps = config.num_joint_vi_iters
     n_restart = 1 if restart_final else 0
     for fields in groups:
-        states, classes = _merged_states_classes(fields, config,
-                                                 max_neighbors, seed)
-        handle = _fused_joint_dispatch(states, classes, newton_config,
-                                       n_sweeps=n_sweeps,
-                                       n_restart=n_restart, mesh=mesh,
-                                       budget_bytes=2 << 30)
-        if handle is None:
+        states, classes, isolated = _merged_states_classes(
+            fields, config, max_neighbors, seed)
+        handle = (_fused_joint_dispatch(states, classes, step_config,
+                                        n_sweeps=n_sweeps,
+                                        n_restart=n_restart, mesh=mesh,
+                                        budget_bytes=2 << 30)
+                  if classes else None)
+        if classes and handle is None:
             if pending is not None:
                 yield finish(pending)
                 pending = None
@@ -1146,7 +1381,7 @@ def joint_infer_fields_pipelined(groups, config=Config(),
             continue
         if pending is not None:
             yield finish(pending)
-        pending = (handle, states)
+        pending = (handle, states, isolated)
     if pending is not None:
         yield finish(pending)
 

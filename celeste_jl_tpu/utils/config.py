@@ -13,6 +13,19 @@ class Config:
     num_ais_samples: int = 10
     # outer iterations of joint (Cyclades) variational inference
     num_joint_vi_iters: int = 3
+    # Hessian-refresh budget per joint class-step (each refresh =
+    # NewtonConfig.hess_every TR steps). A batched class-step's while_loop
+    # runs every lane until the SLOWEST lane converges; without a cap one
+    # straggler lane burns the full NewtonConfig.max_iters (50) cycles on
+    # every one of its ~(classes x sweeps) steps — measured 4x the
+    # multi-field schedule's wall (benchmark/multifield_results.md). A
+    # truncated lane resumes next sweep from its current vp with
+    # re-centered position bounds (the schedule's normal warm-start path),
+    # so the budget bounds per-step depth, not total optimization work:
+    # stragglers get sweeps x cap + restart cap cycles in total, on par
+    # with the reference's 50-iteration single-fit cap
+    # (ElboMaximize.jl:99).
+    joint_step_refreshes: int = 15
 
 
 def host_cache_tag():

@@ -33,6 +33,12 @@ class Counters:
     sources_fit: int = 0
     newton_iters: int = 0
     failures: int = 0
+    # fused-schedule serialized depth: sum over class-steps of the MAX-lane
+    # TR step count — the number of Newton iterations the device actually
+    # executes end to end (a vmapped while_loop runs every lane until the
+    # slowest lane of that step converges, so this, not mean iters, is the
+    # wall-time driver).
+    serial_steps: int = 0
 
     def reset(self):
         self.__init__()
@@ -49,7 +55,10 @@ class Counters:
             f"{prefix}: {self.sources_fit} fits in {self.launches} launches "
             f"({self.launch_s:.2f}s), {self.pixel_visits:.3g} pixel-visits "
             f"({visits_per_s:.3g}/s), utilization {100 * ut:.1f}%, "
-            f"{self.newton_iters} newton iters, {self.failures} failures")
+            f"{self.newton_iters} newton iters"
+            + (f" ({self.serial_steps} serialized)" if self.serial_steps
+               else "")
+            + f", {self.failures} failures")
 
 
 # module-level counters, reset per box by the drivers

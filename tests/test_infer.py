@@ -111,6 +111,28 @@ def test_fused_schedule_matches_host_schedule(monkeypatch):
         assert rf.converged == rh.converged
 
 
+def test_dual_init_launch_keeps_better_basin():
+    """dispatch_group(dual_init=True) fits each source from BOTH its warm
+    init and a generic init in one launch and keeps the better basin — the
+    isolated targets' replacement for the sweep schedule's restart pass.
+    Property: the dual launch's final ELBO per source is >= both the
+    warm-only and the generic-only single-init fits (same background)."""
+    images, truth = _three_overlapping()
+    idx = [0, 2]  # the star and the galaxy (any subset works)
+
+    def fit(kw):
+        st = InferenceState(truth, images, CFG)
+        st.finish_group(st.dispatch_group(idx, NEWTON, use_bg=True, **kw))
+        return st.elbos[idx], st.vps[idx]
+
+    e_warm, _ = fit({})
+    e_fresh, _ = fit({"fresh_init": True})
+    e_dual, vp_dual = fit({"dual_init": True})
+    best = np.maximum(e_warm, e_fresh)
+    assert np.all(e_dual >= best - 1e-6), (e_dual, e_warm, e_fresh)
+    assert np.all(np.isfinite(vp_dual))
+
+
 def test_joint_restart_pass_escapes_stale_background_basin():
     """The final fresh-init restart pass (one_node_joint_infer
     restart_final) must classify two equal overlapping stars correctly —

@@ -114,3 +114,40 @@ def test_color_classes_widest_first():
     classes = color_classes(list(range(10)), nb,
                             rng=np.random.default_rng(0))
     assert len(classes[0]) >= len(classes[-1])
+
+
+def test_fused_color_classes_tile_pure_and_minimal():
+    """The fused packer (latency cost model) must return TILE-PURE,
+    conflict-free classes covering every target once, with the class count
+    per tile near the intra-tile chromatic number (sub-fit count is the
+    fused schedule's wall-time driver)."""
+    import numpy as np
+
+    from celeste_jl_tpu.parallel.run import fused_color_classes
+
+    rng = np.random.default_rng(3)
+    n = 80
+    tile = {i: (32 if i < 50 else 64) for i in range(n)}
+    nb = {i: [] for i in range(n)}
+    for i in range(0, 40, 2):     # 20 conflicting pairs in the 32 bucket
+        nb[i].append(i + 1)
+        nb[i + 1].append(i)
+    for i in range(50, 59, 3):    # 3 triangles in the 64 bucket
+        for a in (i, i + 1, i + 2):
+            for b in (i, i + 1, i + 2):
+                if a != b:
+                    nb[a].append(b)
+    nb[49].append(52)             # one cross-tile conflict
+    nb[52].append(49)
+
+    classes = fused_color_classes(list(range(n)), nb,
+                                  rng=np.random.default_rng(0), tile=tile)
+    seen = sorted(s for cls in classes for s in cls)
+    assert seen == list(range(n))
+    for cls in classes:
+        assert len({tile[s] for s in cls}) == 1        # tile-pure
+        cset = set(cls)
+        for s in cls:
+            assert not (cset & set(nb[s]))             # conflict-free
+    # pairs need 2 classes, triangles need 3 -> 5 sub-fits per pass total
+    assert len(classes) <= 5
