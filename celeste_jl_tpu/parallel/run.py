@@ -367,8 +367,8 @@ class InferenceState:
         finish_group keeps the better-ELBO basin per source. The isolated
         targets' replacement for the sweep schedule's restart pass: both
         lanes see the same static background so the comparison is exact,
-        and the extra lanes are near-free (per-step cost is ~width-
-        independent on TPU, benchmark/multifield_results.md).
+        and two lanes cost strictly less than the sweeps + restart passes
+        (>= 4 warm-lane fits) these sources would otherwise ride.
         """
         n = len(idx)
         if n == 0:
@@ -898,82 +898,101 @@ def color_classes(targets, neighbor_map, rng=None, tile=None):
     return classes
 
 
+# Measured per-TR-step device cost of a batched sub-fit (tools/knee_probe.py
+# across a (W lanes, P tile) grid on the real chip, solo):
+#
+#     wall / serialized step  ~=  W * (16.5 us + P^2 * 7 ns)
+#
+# LINEAR in lane count W with an affine per-lane cost in tile pixels — the
+# while_loop body is throughput-bound at every measured width (32..2048
+# lanes), dominated by the amortized batched eigh plus the per-step
+# renders. An earlier "per-step cost is width-independent (latency-bound)"
+# reading came from host-contended measurements and drove a tile-pure
+# minimum-class packer that regressed the 8-field farm run 53.7 -> 38.6
+# device fits/s (benchmark/multifield_results.md); idle lanes are NOT free.
+LANE_STEP_US_FLOOR = 16.5
+LANE_STEP_NS_PER_PX = 7.0
+
+
+def _lane_step_cost(t):
+    """Measured per-TR-step cost (us) of ONE lane at tile size t."""
+    return LANE_STEP_US_FLOOR + max(t, 1) ** 2 * LANE_STEP_NS_PER_PX * 1e-3
+
+
 def fused_color_classes(targets, neighbor_map, rng=None, tile=None):
-    """Conflict-free classes minimizing the fused program's SERIALIZED
-    sub-fit count — the latency cost model.
+    """Conflict-free classes minimizing the fused program's total
+    LANE-STEP COST under the measured linear cost model (_lane_step_cost).
 
-    Measured on TPU (benchmark/multifield_results.md + the 128/512-lane
-    bench sweep): one serialized TR step of a (class, tile-bucket) sub-fit
-    costs ~11-19 ms nearly INDEPENDENT of lane width from 32 to 1024
-    lanes — the while_loop body is latency-bound (batched eigh every
-    hess_every steps + a long chain of small per-step ops), not
-    pixel-throughput-bound. Schedule wall is therefore
+    The fused schedule runs, per (sweep | restart) pass, one sub-fit per
+    (class, tile bucket) group, each padded to that bucket's power-of-two
+    width W_t and running every lane until the slowest converges (or the
+    per-class-step cap truncates). With per-step cost W * c(P), a pass
+    costs ~ k * sum_t W_t * c(t) * steps — so the packer searches class
+    counts k and keeps the smallest feasible
 
-        sum over (class, bucket) sub-fits of max-lane TR steps x ~15 ms,
+        cost(k) = k * sum_t width_t(t, k) * _lane_step_cost(t),
 
-    so the packer minimizes the NUMBER of sub-fits, not padded lane-steps
-    (the previous k*W model — idle lanes in a latency-bound body are
-    nearly free):
+    where width_t is the padded per-(class, bucket) width at an even
+    spread. Fewer classes is NOT cheaper once the max class pads up a
+    power of two; more classes is NOT cheaper once every class pays the
+    32-lane floor. Sparse sky overlap graphs (mean degree ~2-3) routinely
+    admit k below max-degree+1 when classes may hold any non-conflicting
+    source up to the cap.
 
-      * classes are TILE-PURE: each class holds sources of ONE tile
-        bucket, so a class step runs exactly one sub-fit (the mixed
-        classes of the k*W packer ran one sub-fit per bucket PRESENT,
-        multiplying depth by ~the bucket count), and cross-tile conflicts
-        are separated for free;
-      * each tile uses its greedy-coloring MINIMUM class count (~max
-        intra-tile conflict degree + 1, with shuffle retries), capped
-        only by a per-sub-fit pixel budget (W x P^2 <= 2^21 lane-pixels)
-        that bounds staging/activation memory.
-
-    tile: optional {source: tile_size}; without it all sources share one
-    bucket and this reduces to minimum-k capped coloring."""
+    tile: optional {source: tile_size}. Per-(class, bucket) group sizes
+    are capped at that bucket's padded width so a class cannot hoard the
+    large-tile sources and widen the priciest lane grid."""
     rng = rng or np.random.default_rng(42)
+    n = len(targets)
     tile_of = (lambda s: int(tile[s])) if tile is not None else (lambda s: 0)
-    by_tile = {}
+    n_t = {}
     for s in targets:
-        by_tile.setdefault(tile_of(s), []).append(s)
+        t = tile_of(s)
+        n_t[t] = n_t.get(t, 0) + 1
 
-    out = []
-    for t in sorted(by_tile):
-        members = by_tile[t]
-        mset = set(members)
-        cap = max(32, (1 << 21) // max(t, 1) ** 2)
-        k0 = max(1, -(-len(members) // cap))
-        for k in range(k0, len(members) + 1):
-            classes = _try_color_capped(members, mset, neighbor_map, k,
-                                        cap, rng)
-            if classes is not None:
-                out.extend(classes)
-                break
-    out.sort(key=len, reverse=True)
-    return out
+    def width_t(t, k):
+        floor = min(32, _next_pow2(max(n_t[t], 1)))
+        return max(floor, _next_pow2(-(-n_t[t] // k)))
+
+    def cost(k):
+        return k * sum(width_t(t, k) * _lane_step_cost(t) for t in n_t)
+
+    ks = sorted(range(1, n + 1), key=lambda k: (cost(k), k))
+    for k in ks:
+        classes = _try_color_capped(targets, neighbor_map, k,
+                                    {t: width_t(t, k) for t in n_t},
+                                    tile_of, rng)
+        if classes is not None:
+            return classes
+    return color_classes(targets, neighbor_map, rng)  # unreachable fallback
 
 
-def _try_color_capped(members, mset, neighbor_map, k, cap, rng):
-    """Greedy k-coloring of `members` (conflicts WITHIN `mset` only; the
-    caller guarantees sources outside it land in other classes) with class
-    size <= cap, highest-degree-first with a few shuffle retries. None if
-    infeasible at this k."""
-    deg = {s: sum(nb in mset for nb in neighbor_map.get(s, ()))
-           for s in members}
+def _try_color_capped(targets, neighbor_map, k, caps, tile_of, rng):
+    """Greedy k-coloring of `targets` with per-(class, tile) group sizes
+    capped at caps[t], highest-degree-first with a few shuffle retries.
+    None if infeasible at this k."""
     for _ in range(4):
-        order = list(members)
+        order = list(targets)
         rng.shuffle(order)
-        order.sort(key=lambda s: -deg[s])
+        order.sort(key=lambda s: -len(neighbor_map.get(s, ())))
         classes = [[] for _ in range(k)]
-        sets = [set() for _ in range(k)]
+        members = [set() for _ in range(k)]
+        counts = [dict() for _ in range(k)]
         ok = True
         for s in order:
-            nbs = [nb for nb in neighbor_map.get(s, ()) if nb in mset]
+            nbs = neighbor_map.get(s, ())
+            t = tile_of(s)
             cands = [c for c in range(k)
-                     if len(classes[c]) < cap
-                     and not any(nb in sets[c] for nb in nbs)]
+                     if counts[c].get(t, 0) < caps[t]
+                     and not any(nb in members[c] for nb in nbs)]
             if not cands:
                 ok = False
                 break
-            c = min(cands, key=lambda c: len(classes[c]))
+            c = min(cands, key=lambda c: (counts[c].get(t, 0),
+                                          len(classes[c])))
             classes[c].append(s)
-            sets[c].add(s)
+            members[c].add(s)
+            counts[c][t] = counts[c].get(t, 0) + 1
         if ok:
             return [c for c in classes if c]
     return None
@@ -1076,9 +1095,10 @@ def one_node_joint_infer(catalog, images, target_sources=None,
             if not constrained:
                 telemetry.counters.report("joint infer (fused)")
                 return _collect_results(st)
-            # Default schedule = the tile-pure minimum-class packer
-            # (fused_color_classes, latency cost model: sub-fit count, not
-            # padded lane-steps). Packer choice is accuracy-NEUTRAL (a
+            # Default schedule = the width-capped lane-step-cost packer
+            # (fused_color_classes, measured linear cost model:
+            # k * sum_t W_t * lane_step_cost(t)). Packer choice is
+            # accuracy-NEUTRAL (a
             # 5-field A/B measured mean type accuracy 0.911 capped vs
             # 0.908 balanced vs 0.910 reference-style Cyclades waves —
             # field draw variance dominates, benchmark/field_results.md).
@@ -1266,8 +1286,8 @@ def _fit_isolated_multi(states, isolated, newton_config):
     def dispatch(t, members):
         # dual-init lanes: lane i warm (catalog/current init), lane n+i
         # generic init — the basin probe the sweep schedule's restart pass
-        # gave these sources, in the same launch at ~no extra wall (per-
-        # step cost is ~width-independent). finish keeps the better ELBO.
+        # gave these sources, in one launch costing ~2 single fits vs the
+        # >= 4 schedule passes replaced. finish keeps the better ELBO.
         n = len(members)
         nl = 2 * n
         pad = max(_next_pow2(nl), 32)  # 32-lane floor: stable compile keys
