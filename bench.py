@@ -29,6 +29,8 @@ TR_SOLVER = os.environ.get("BENCH_TR_SOLVER", "")
 HESS_EVERY = os.environ.get("BENCH_HESS_EVERY", "")
 MS_ITERS = os.environ.get("BENCH_MS_ITERS", "")
 PRECISION = os.environ.get("BENCH_PRECISION", "")
+SECULAR = os.environ.get("BENCH_SECULAR", "")         # newton | bisect
+BISECT_ITERS = os.environ.get("BENCH_BISECT_ITERS", "")
 BASELINE_FITS_PER_SEC = 1.0
 
 
@@ -52,7 +54,7 @@ def main():
 
     t0 = time.perf_counter()
     kw = {}
-    if TR_SOLVER or HESS_EVERY or MS_ITERS:
+    if TR_SOLVER or HESS_EVERY or MS_ITERS or SECULAR or BISECT_ITERS:
         from celeste_jl_tpu.ops.newton import NewtonConfig
         cfg = NewtonConfig()
         if TR_SOLVER:
@@ -61,6 +63,10 @@ def main():
             cfg = cfg._replace(hess_every=int(HESS_EVERY))
         if MS_ITERS:
             cfg = cfg._replace(ms_iters=int(MS_ITERS))
+        if SECULAR:
+            cfg = cfg._replace(secular=SECULAR)
+        if BISECT_ITERS:
+            cfg = cfg._replace(bisect_iters=int(BISECT_ITERS))
         kw["config"] = cfg
     res = fit_sources(vp0s, patches, **kw)  # compile + warm up
     jax.block_until_ready(res.vp)
@@ -76,6 +82,16 @@ def main():
     best = min(times)
     fits_per_sec = S / best
     finite = float(np.mean(np.isfinite(np.asarray(res.elbo))))
+
+    # MFU: useful model FLOPs of the S fits (utils/flops.py; components
+    # priced by the live backend's own XLA cost analysis) over the best
+    # wall, vs the chip's bf16 peak.
+    from celeste_jl_tpu.utils import flops as flops_mod
+    hess_every = kw.get("config").hess_every if "config" in kw else 6
+    total_flops = flops_mod.fit_flops(
+        np.asarray(res.iters), np.asarray(res.f_calls), P=32,
+        hess_every=hess_every, use_probes=True)
+    achieved, mfu = flops_mod.mfu(total_flops, best)
     out = {
         "metric": "source_fits_per_sec_per_chip",
         "value": round(fits_per_sec, 2),
@@ -90,6 +106,12 @@ def main():
         "best_wall_s": round(best, 4),
         "finite_elbo_frac": finite,
         "mean_newton_iters": float(np.mean(np.asarray(res.iters))),
+        # model-FLOP accounting: useful work only (padding lanes and
+        # while_loop overrun excluded) — the honest headroom number
+        "model_gflops_per_fit": round(total_flops / S / 1e9, 3),
+        "achieved_model_gflops_per_s": round(achieved / 1e9, 1),
+        "mfu": round(mfu, 6) if mfu is not None else None,
+        "device_kind": jax.devices()[0].device_kind,
         "backend": jax.default_backend(),
         "compile_plus_first_run_s": round(compile_s, 1),
     }

@@ -153,6 +153,7 @@ def main():
         t_detect = t_detect_box[0]
         c = telemetry.counters
         fits, launch_s, util = c.sources_fit, c.launch_s, c.utilization()
+        achieved_fl, mfu_frac = c.mfu()
 
         n_det = n_match = 0
         accs, all_errs = [], []
@@ -190,6 +191,10 @@ def main():
             "device_sources_per_sec": (round(n_det / launch_s, 2)
                                        if launch_s else None),
             "utilization": round(util, 3),
+            # model-FLOP accounting of the useful fit work over summed
+            # launch wall (utils/flops.py; MFU vs the chip's bf16 peak)
+            "achieved_model_gflops_per_s": round(achieved_fl / 1e9, 1),
+            "mfu": (round(mfu_frac, 6) if mfu_frac is not None else None),
             # serialized depth: sum over class-steps of max-lane TR steps —
             # what the device executes end to end (vmapped while_loops run
             # to the slowest lane); mean iters per fit for contrast

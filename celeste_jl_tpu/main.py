@@ -93,7 +93,7 @@ def main(argv=None):
     parser.add_argument("--config", default="celeste.yml",
                         help="YAML configuration file")
     parser.add_argument("--method", default="joint_vi",
-                        choices=["joint_vi", "single_vi", "mcmc"])
+                        choices=["joint_vi", "single_vi", "svi", "mcmc"])
     parser.add_argument("--outdir", default=".")
     parser.add_argument("--detect-thresh", type=float, default=1.3,
                         help="detection threshold in sky-noise sigmas "

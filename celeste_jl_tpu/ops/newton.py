@@ -45,11 +45,14 @@ class NewtonConfig(NamedTuple):
     # already flips star/galaxy classifications on multimodal
     # overlapping-source fits (tests/test_infer.py, p_star 0.995 -> 0.005
     # at he=8); 6 tracks exact-Newton trajectories.
-    # bisect_iters: safeguarded-Newton iterations on the TR secular
-    # equation per step (historic name; was 48 pure bisections). 16 Newton
-    # iterations resolve lam far past f32 precision (quadratic convergence)
-    # with a 3x shorter serialized in-graph chain.
+    # bisect_iters: iterations on the TR secular equation per step;
+    # `secular` picks the iteration: "newton" = safeguarded Newton
+    # (quadratic convergence; 16 iterations resolve lam far past f32
+    # precision with a 3x shorter serialized in-graph chain) or "bisect" =
+    # pure bisection on the bracket (the round-1 behavior at 48
+    # iterations; linear convergence but 1 dot/iter instead of 2).
     bisect_iters: int = 16
+    secular: str = "newton"
     hess_every: int = 6
     # TR subproblem solver, all nearly-exact Moré-Sorensen in an eigenbasis
     # except "cg":
@@ -113,7 +116,7 @@ class NewtonState(NamedTuple):
     converged: jnp.ndarray
 
 
-def _solve_tr_eig(gq, w, delta, bisect_iters=16):
+def _solve_tr_eig(gq, w, delta, bisect_iters=16, secular="newton"):
     """TR subproblem in the eigenbasis: argmin gq.p + 0.5 p'diag(w)p,
     ||p|| <= delta. w need not be sorted (the Jacobi path's is not).
     Returns (p_eig, predicted_reduction >= 0)."""
@@ -142,27 +145,44 @@ def _solve_tr_eig(gq, w, delta, bisect_iters=16):
                      jnp.linalg.norm(gq) / jnp.maximum(delta, eps)
                      + jnp.maximum(0.0, -lam_min) + 1.0)
 
-    def secular(carry, _):
-        lo, hi, lam = carry
-        q = gq / (w + lam)
-        n2 = q @ q                       # ||p(lam)||^2
-        n = jnp.sqrt(n2)
-        too_big = n > delta              # need larger lam
-        lo = jnp.where(too_big, lam, lo)
-        hi = jnp.where(too_big, hi, lam)
-        s3 = q @ (q / (w + lam))         # sum gq^2/(w+lam)^3 > 0
-        step = (n / jnp.maximum(delta, eps) - 1.0) * n2 / jnp.maximum(s3, eps)
-        nxt = lam + step
-        mid = 0.5 * (lo + hi)
-        # INCLUSIVE bracket acceptance: once converged, step underflows to
-        # 0 and nxt == lam == one bracket edge (the edge was just set to
-        # lam above) — a strict test would bounce the converged iterate
-        # back to the midpoint and return an unconverged lam.
-        good = jnp.isfinite(nxt) & (nxt >= lo) & (nxt <= hi)
-        return (lo, hi, jnp.where(good, nxt, mid)), None
+    if secular == "bisect":
+        # round-1 behavior: pure bisection on the bracket (linear
+        # convergence, but each iteration is one dot product and the
+        # serialized chain vectorizes identically across lanes)
+        def bisect(carry, _):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            too_big = pnorm(mid) > delta   # need larger lam
+            lo = jnp.where(too_big, mid, lo)
+            hi = jnp.where(too_big, hi, mid)
+            return (lo, hi), None
 
-    (_, _, lam), _ = jax.lax.scan(secular, (lo, hi, 0.5 * (lo + hi)), None,
-                                  length=bisect_iters)
+        (lo_f, hi_f), _ = jax.lax.scan(bisect, (lo, hi), None,
+                                       length=bisect_iters)
+        lam = 0.5 * (lo_f + hi_f)
+    else:
+        def newton_it(carry, _):
+            lo, hi, lam = carry
+            q = gq / (w + lam)
+            n2 = q @ q                       # ||p(lam)||^2
+            n = jnp.sqrt(n2)
+            too_big = n > delta              # need larger lam
+            lo = jnp.where(too_big, lam, lo)
+            hi = jnp.where(too_big, hi, lam)
+            s3 = q @ (q / (w + lam))         # sum gq^2/(w+lam)^3 > 0
+            step = (n / jnp.maximum(delta, eps) - 1.0) * n2 \
+                / jnp.maximum(s3, eps)
+            nxt = lam + step
+            mid = 0.5 * (lo + hi)
+            # INCLUSIVE bracket acceptance: once converged, step underflows
+            # to 0 and nxt == lam == one bracket edge (the edge was just
+            # set to lam above) — a strict test would bounce the converged
+            # iterate back to the midpoint and return an unconverged lam.
+            good = jnp.isfinite(nxt) & (nxt >= lo) & (nxt <= hi)
+            return (lo, hi, jnp.where(good, nxt, mid)), None
+
+        (_, _, lam), _ = jax.lax.scan(newton_it, (lo, hi, 0.5 * (lo + hi)),
+                                      None, length=bisect_iters)
     p_boundary = -(gq / (w + lam))
 
     # Hard case: ||p(lam)|| < delta even at lam -> -lam_min because gq has no
@@ -177,13 +197,13 @@ def _solve_tr_eig(gq, w, delta, bisect_iters=16):
     return p, jnp.maximum(pred, 0.0)
 
 
-def solve_tr_subproblem(g, H, delta, bisect_iters=16):
+def solve_tr_subproblem(g, H, delta, bisect_iters=16, secular="newton"):
     """argmin_p g.p + 0.5 p'Hp  s.t. ||p|| <= delta (nearly exact).
 
     Returns (p, predicted_reduction) with predicted_reduction >= 0.
     """
     w, Q = jnp.linalg.eigh(H)
-    p_eig, pred = _solve_tr_eig(Q.T @ g, w, delta, bisect_iters)
+    p_eig, pred = _solve_tr_eig(Q.T @ g, w, delta, bisect_iters, secular)
     return Q @ p_eig, pred
 
 
@@ -403,7 +423,7 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
             D = st.g.shape[0]
             g = st.g if Q.shape[0] == D else jnp.pad(st.g, (0, Q.shape[0] - D))
             p_eig, pred = _solve_tr_eig(Q.T @ g, w, st.delta,
-                                        config.bisect_iters)
+                                        config.bisect_iters, config.secular)
             p = (Q @ p_eig)[:D]
         x_new = st.x + p
         f_new, g_new = fg(x_new)

@@ -180,3 +180,106 @@ def run_worker(queue: FileWorkQueue, load_images, method="joint_vi",
                 Log.exception(exc)
                 queue.release(box)
     return completed
+
+
+def run_worker_pipelined(queue: FileWorkQueue, load_images, config=None,
+                         worker_id=None, group_boxes=2, max_boxes=None,
+                         detect_kwargs=None, seed=42):
+    """Claim-infer-save loop that keeps the chip saturated: boxes are
+    claimed `group_boxes` at a time and streamed through
+    `joint_infer_fields_pipelined`, so box k+1's image loading, detection,
+    and patch staging overlap box k's in-flight fused device launch, and
+    the boxes of one group merge laterally into one launch (cross-field
+    class merging). This is the production replacement for run_worker's
+    one-box-at-a-time loop — the reference's taskfarmer kept nodes busy
+    with one process per box (contrib/nersc/infer.sl:5-30); here one
+    process keeps one chip busy across boxes. joint_vi only.
+
+    load_images: BoundingBox -> [Image]. detect_kwargs: passed through to
+    detection (thresh, boxsize, ...). Returns boxes completed."""
+    from ..detection.detect import detect_sources
+    from ..main import save_results
+    from ..utils.config import Config
+    from .run import (detection_active_boxes, is_production_run,
+                      joint_infer_fields_pipelined)
+
+    config = config or Config()
+    worker_id = worker_id or f"{os.uname().nodename}:{os.getpid()}"
+    detect_kwargs = detect_kwargs or {}
+
+    def stage(box):
+        """Host work for one box: load + detect + target selection."""
+        images = load_images(box)
+        catalog, det_boxes = detect_sources(images, **detect_kwargs)
+        active = (detection_active_boxes(catalog, det_boxes, images)
+                  if catalog else None)
+        targets = [i for i, ce in enumerate(catalog)
+                   if box.contains(ce.pos[0], ce.pos[1])]
+        return {"catalog": catalog, "images": images,
+                "active_boxes": active, "target_sources": targets}
+
+    group_order = []     # groups' boxes, in yield order
+    completed = 0
+    claimed_total = [0]  # boxes handed to the pipeline (done + in flight)
+
+    # Keep claiming until a full sweep of the task list yields nothing.
+    # The generator runs interleaved with the consumer below: group k+1's
+    # stage() calls execute while group k's fused launch is in flight.
+    def groups():
+        while True:
+            grp, boxes_g = [], []
+            budget = (group_boxes if max_boxes is None else
+                      min(group_boxes, max_boxes - claimed_total[0]))
+            if budget <= 0:
+                return
+            for box in queue.boxes():
+                if len(grp) >= budget:
+                    break
+                if queue.done(box):
+                    continue
+                attempt = queue.try_claim(box, worker_id)
+                if attempt is None:
+                    continue
+                Log.info(f"worker {worker_id}: box {box_name(box)} "
+                         f"(attempt {attempt})")
+                try:
+                    fields = stage(box)
+                except Exception as exc:
+                    Log.exception(exc)
+                    queue.release(box)
+                    continue
+                if not fields["catalog"] or not fields["target_sources"]:
+                    # nothing to fit — an empty box is still done
+                    save_results(queue.workdir, box, [])
+                    continue
+                grp.append(fields)
+                boxes_g.append(box)
+            if not grp:
+                return
+            group_order.append(boxes_g)
+            claimed_total[0] += len(boxes_g)
+            yield grp
+
+    _done = [0]  # groups fully saved (index into group_order)
+    try:
+        for results in joint_infer_fields_pipelined(groups(), config=config,
+                                                    seed=seed):
+            boxes_g = group_order[_done[0]]
+            for box, res in zip(boxes_g, results):
+                save_results(queue.workdir, box, res)
+                completed += 1
+                Log.info(f"worker {worker_id}: box {box_name(box)} done, "
+                         f"{len(res)} sources")
+            _done[0] += 1
+    except Exception as exc:
+        # release every claimed-but-unsaved box for retry by another worker
+        if not is_production_run():
+            for g in group_order[_done[0]:]:
+                for box in g:
+                    queue.release(box)
+            raise
+        Log.exception(exc)
+        for g in group_order[_done[0]:]:
+            for box in g:
+                queue.release(box)
+    return completed

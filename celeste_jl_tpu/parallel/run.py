@@ -37,6 +37,23 @@ from .partition import partition_cyclades_dynamic
 TILE_BUCKETS = (16, 32, 64, 128)
 MAX_PATCH_RADIUS = 25.0
 
+# Basin-acceptance margin for every better-ELBO reduction (dual-init lanes,
+# restart keep_better, the fused program's restart accept): a challenger
+# basin replaces the incumbent only when it wins by this RELATIVE margin.
+# Rationale: two fits of the same source at different launch widths agree
+# only to ~launch-width-dependent f64 rounding amplified by ~50 chaotic TR
+# steps (measured ~1e-9 relative on near-tied basins); a strict `>` then
+# makes the final catalog depend on padding/chunking. Genuine basin gaps are
+# orders of magnitude larger (hundreds of nats on ELBOs of ~1e4-1e6), so the
+# margin costs no accuracy while making the reduction packing-invariant.
+BASIN_MARGIN_REL = 1e-8
+
+
+def _beats(challenger, incumbent):
+    """True where `challenger` ELBO beats `incumbent` by more than the
+    relative rounding-noise margin (works on numpy and jax arrays)."""
+    return challenger > incumbent + BASIN_MARGIN_REL * abs(incumbent)
+
 
 def is_production_run():
     """In production, per-source/per-launch failures are logged and skipped;
@@ -432,6 +449,9 @@ class InferenceState:
                     inc=inc, pixel_counts=pixel_counts,
                     keep_better=keep_better,
                     pixels_per_lane_total=int(np.prod(patches.mask.shape[1:])),
+                    tile=int(patches.pixels.shape[-1]),
+                    bands=int(patches.pixels.shape[-3]),
+                    hess_every=newton_config.hess_every,
                     label=f"n={n} pad={pad} P{patches.pixels.shape[-1]}")
 
     def finish_group(self, pending):
@@ -460,9 +480,9 @@ class InferenceState:
         telemetry.record_launch_wall(pending["t0"], pending["label"])
         if nl != n:
             # dual_init reduction: lane i (warm) vs lane n+i (generic init)
-            # of the same source — keep the better basin. Same objective,
-            # same static background, so the ELBO comparison is exact.
-            fresh = elbo[n:nl] > elbo[:n]
+            # of the same source — keep the better basin (by the rounding
+            # margin, see _beats). Same objective, same static background.
+            fresh = _beats(elbo[n:nl], elbo[:n])
             vp = np.where(fresh[:, None], vp[n:nl], vp[:n])
             elbo = np.where(fresh, elbo[n:nl], elbo[:n])
             conv = np.where(fresh, conv[n:nl], conv[:n])
@@ -474,7 +494,7 @@ class InferenceState:
             # (dispatch_group), not the possibly-stale stored value; the
             # stored ELBO of rejected lanes is refreshed to the re-eval.
             ref = np.asarray(pending["inc"])[:n]
-            take = elbo > ref
+            take = _beats(elbo, ref)
             self.elbos[idxa[~take]] = ref[~take]
             idxa = idxa[take]
             vp, elbo, conv = vp[take], elbo[take], conv[take]
@@ -486,7 +506,8 @@ class InferenceState:
             nl, pending["pad"] - nl,
             pixels_per_lane_real=pending["pixel_counts"][:nl],
             pixels_per_lane_total=pending["pixels_per_lane_total"],
-            f_calls=f_calls)
+            f_calls=f_calls, tile=pending["tile"], bands=pending["bands"],
+            hess_every=pending["hess_every"])
 
     def fit_group(self, idx, newton_config: NewtonConfig, use_bg=True,
                   bg_vps=None, fresh_init=False, keep_better=False):
@@ -522,8 +543,14 @@ def _fused_joint_program(vps, elbos, conv, iters, buckets, c_real,
                                           jnp.float32))
 
     def bucket_step(bk, c, is_restart, carry):
-        vps, elbos, conv, iters, rv, tv, ri, ss = carry
+        vps, elbos, conv, iters, rv, tv, ri, ss, fl = carry
         lane_total = float(np.prod(bk["patches"].mask.shape[1:]))
+        # model-FLOP pricing constants for this bucket's tile (host-static;
+        # the analytic variant so tracing never compiles probes)
+        from ..utils.flops import _TR_STEP_FLOPS, fit_flop_components_analytic
+        P_t = int(bk["patches"].mask.shape[-1])
+        B_t = int(bk["patches"].mask.shape[-3])
+        F_fg, F_H, F_eigh = fit_flop_components_analytic(P_t, B_t)
         take = lambda t: jax.lax.dynamic_index_in_dim(t, c, keepdims=False)
         src = take(bk["lane_src"])
         pc = jax.tree.map(lambda t: t[take(bk["lane_pat"])], bk["patches"])
@@ -565,7 +592,7 @@ def _fused_joint_program(vps, elbos, conv, iters, buckets, c_real,
                 check_vma=False)(vps, nbi, nbm, pc, vp0, vps[src])
 
         ref = jnp.where(is_restart, inc, elbos[src])
-        accept = jnp.logical_not(is_restart) | (res.elbo > ref)
+        accept = jnp.logical_not(is_restart) | _beats(res.elbo, ref)
         pick = lambda new, old: jnp.where(
             accept[:, None] if new.ndim == 2 else accept, new, old)
         vps = vps.at[src].set(pick(res.vp, vps[src]))
@@ -580,7 +607,12 @@ def _fused_joint_program(vps, elbos, conv, iters, buckets, c_real,
         # serialized depth: the step's while_loop runs every lane until the
         # SLOWEST lane converges — max-lane iters is what the device pays
         ss = ss + jnp.max(res.iters).astype(rv.dtype)
-        return (vps, elbos, conv, iters, rv, tv, ri, ss)
+        # useful model FLOPs of the real lanes (utils/flops.py fit model)
+        refreshes = jnp.ceil(res.iters / max(config.hess_every, 1))
+        lane_fl = (fc * F_fg + refreshes.astype(fc.dtype) * (F_H + F_eigh)
+                   + res.iters.astype(fc.dtype) * _TR_STEP_FLOPS)
+        fl = fl + jnp.sum(jnp.where(real, lane_fl, 0.0))
+        return (vps, elbos, conv, iters, rv, tv, ri, ss, fl)
 
     def body(step, carry):
         c = step % c_real
@@ -593,7 +625,8 @@ def _fused_joint_program(vps, elbos, conv, iters, buckets, c_real,
         return carry
 
     return jax.lax.fori_loop(
-        0, n_steps, body, (vps, elbos, conv, iters, f32, f32, f32, f32))
+        0, n_steps, body,
+        (vps, elbos, conv, iters, f32, f32, f32, f32, f32))
 
 
 def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
@@ -752,10 +785,20 @@ def _fused_joint_finish(handle):
     fit by a SEPARATE concurrent launch (_fit_isolated_multi) whose host
     results must not be clobbered by the staged (pre-fit) values riding
     along in the fused output table."""
-    out = jax.block_until_ready(handle["out"])
+    try:
+        out = jax.block_until_ready(handle["out"])
+    except Exception as exc:
+        # Production semantics: a failed fused launch (e.g. a device error
+        # surfacing at the transfer) keeps every field at its previous
+        # state instead of aborting the farm run (ParallelRun.jl:390-396).
+        if not is_production_run():
+            raise
+        Log.exception(exc)
+        telemetry.counters.failures += len(handle["touched"])
+        return
     telemetry.record_launch_wall(handle["t0"], handle["label"])
     states, offsets = handle["states"], handle["offsets"]
-    vps_o, elbos_o, conv_o, iters_o, rv, tv, ri, ss = out
+    vps_o, elbos_o, conv_o, iters_o, rv, tv, ri, ss, fl = out
     touched = np.asarray(handle["touched"], dtype=np.int64)
     vps_o, elbos_o = np.asarray(vps_o), np.asarray(elbos_o)
     conv_o, iters_o = np.asarray(conv_o), np.asarray(iters_o)
@@ -772,6 +815,7 @@ def _fused_joint_finish(handle):
     telemetry.counters.serial_steps += int(ss)
     telemetry.counters.pixel_visits += int(rv)
     telemetry.counters.padded_visits += int(max(float(tv) - float(rv), 0.0))
+    telemetry.counters.model_flops += float(fl)
 
 
 def _fused_joint_run_multi(states, classes, newton_config, n_sweeps,
@@ -807,8 +851,12 @@ def _capped_step_config(newton_config: NewtonConfig, config: Config):
     host-driven paths (the bit-exactness pair, tests/test_infer.py)."""
     import os
 
-    cap = int(os.environ.get("CELESTE_STEP_CAP", "0")) or \
-        config.joint_step_refreshes
+    try:
+        cap = int(os.environ.get("CELESTE_STEP_CAP", "0"))
+    except ValueError:
+        Log.info("CELESTE_STEP_CAP is not an integer; ignoring")
+        cap = 0
+    cap = cap or config.joint_step_refreshes
     if cap and cap < newton_config.max_iters:
         return newton_config._replace(max_iters=cap)
     return newton_config
@@ -1065,19 +1113,15 @@ def one_node_joint_infer(catalog, images, target_sources=None,
         Log.info(f"joint infer: resuming at step {cursor}")
 
     def fit_isolated():
-        # full-budget single fits (newton_config, not the per-step cap),
-        # per-tile-bucket launches in power-of-two chunks (independent
-        # fits, so chunking is exact); dispatch_group compacts wide ones.
-        # dual_init: warm + generic-init lanes, keep the better basin —
-        # the restart pass these sources no longer ride, at ~no extra wall
-        pend = [st.dispatch_group(chunk, newton_config, use_bg=True,
-                                  dual_init=True)
-                for P in TILE_BUCKETS
-                for chunk in _pow2_chunks(
-                    [s for s in isolated if st.tile[s] == P],
-                    cap=_dual_chunk_cap(P))]
-        for p in pend:
-            st.finish_group(p)
+        # full-budget dual-init single fits through the SAME staging code
+        # as the multi-field path (_fit_isolated_multi): per-tile-bucket
+        # power-of-two chunks at the shared >=32-lane pad. Sharing the code
+        # (and therefore the compiled launch widths) makes per-field and
+        # merged multi-field runs bit-identical for isolated sources —
+        # width-dependent f64 rounding over ~50 chaotic TR steps otherwise
+        # flips near-tied star/galaxy basins between the two paths
+        # (tests/test_multifield.py).
+        _fit_isolated_multi([st], isolated, newton_config)
 
     # Fused schedule (the TPU default): the whole sweep/restart schedule is
     # one device launch (_fused_joint_program) instead of one launch per
@@ -1318,19 +1362,40 @@ def _fit_isolated_multi(states, isolated, newton_config):
                 int(np.prod(patches.mask.shape[1:])),
                 f"isolated n={n} pad={pad} P{t}")
 
-    pending = [dispatch(t, members)
-               for t, group in sorted(by_tile.items())
-               for members in _pow2_chunks(group, cap=_dual_chunk_cap(t))]
+    # Production semantics on both the dispatch and the transfer
+    # (ParallelRun.jl:390-396 catch-log-continue parity, same as
+    # dispatch_group/finish_group): a failed launch is logged and its
+    # sources keep their previous state instead of aborting the whole
+    # multi-field / pipelined farm run.
+    pending = []
+    for t, group in sorted(by_tile.items()):
+        for members in _pow2_chunks(group, cap=_dual_chunk_cap(t)):
+            try:
+                pending.append(dispatch(t, members))
+            except Exception as exc:
+                if not is_production_run():
+                    raise
+                Log.exception(exc)
+                telemetry.counters.failures += len(members)
 
     for members, n, pad, res, counts, t0, lane_total, label in pending:
         nl = 2 * n
-        vp = np.asarray(res.vp)[:nl]
-        elbo = np.asarray(res.elbo)[:nl]
-        conv = np.asarray(res.converged)[:nl]
-        iters = np.asarray(res.iters)[:nl]
+        try:
+            vp = np.asarray(res.vp)[:nl]
+            elbo = np.asarray(res.elbo)[:nl]
+            conv = np.asarray(res.converged)[:nl]
+            iters = np.asarray(res.iters)[:nl]
+        except Exception as exc:
+            if not is_production_run():
+                raise
+            Log.exception(exc)
+            telemetry.counters.failures += n
+            continue
         telemetry.record_launch_wall(t0, label)
-        # keep the better basin per source (same objective + background)
-        fresh = elbo[n:nl] > elbo[:n]
+        # keep the better basin per source (same objective + background);
+        # margin acceptance (_beats) so near-ties stay in the warm basin
+        # regardless of launch packing
+        fresh = _beats(elbo[n:nl], elbo[:n])
         vp = np.where(fresh[:, None], vp[n:nl], vp[:n])
         elbo = np.where(fresh, elbo[n:nl], elbo[:n])
         conv = np.where(fresh, conv[n:nl], conv[:n])
@@ -1343,7 +1408,10 @@ def _fit_isolated_multi(states, isolated, newton_config):
         telemetry.record_fit_launch(
             nl, pad - nl, pixels_per_lane_real=counts[:nl],
             pixels_per_lane_total=lane_total,
-            f_calls=np.asarray(res.f_calls))
+            f_calls=np.asarray(res.f_calls),
+            tile=int(label.rsplit("P", 1)[-1]),
+            bands=len(states[0].images),
+            hess_every=newton_config.hess_every)
 
 
 def joint_infer_fields_pipelined(groups, config=Config(),
@@ -1427,6 +1495,64 @@ def one_node_single_infer(catalog, images, target_sources=None,
     return _collect_results(st)
 
 
+def one_node_svi_infer(catalog, images, target_sources=None,
+                       config=Config(), svi_config=None, max_neighbors=8,
+                       state=None, active_boxes=None, seed=42):
+    """Independent per-source fits by pixel-minibatch STOCHASTIC VI
+    (vi/stochastic.fit_sources_svi) with neighbors fixed at their catalog
+    initialization — the single_vi schedule with Adam-on-minibatches
+    replacing Newton trust-region. The reference's StochasticVI.jl is an
+    empty stub (StochasticVI.jl:1-3); this is the real implementation,
+    reachable via infer_box(method="svi") and the CLI --method svi."""
+    import jax.random as jr
+
+    from ..vi.stochastic import SVIConfig, fit_sources_svi
+
+    svi_config = svi_config or SVIConfig()
+    st = state or InferenceState(catalog, images, config, target_sources,
+                                 max_neighbors, active_boxes=active_boxes)
+    vps0 = st.vps.copy()
+    telemetry.counters.reset()
+    key = jr.PRNGKey(seed)
+    for P in TILE_BUCKETS:
+        idx = [s for s in st.targets if st.tile[s] == P]
+        if not idx:
+            continue
+        pad = max(_next_pow2(len(idx)), 32)
+        idx_p = idx + [idx[0]] * (pad - len(idx))
+        t0 = telemetry.now()
+        try:
+            patches, counts = st.stacked_patches(idx_p)
+            vp0 = jnp.asarray(vps0[idx_p])
+            nb_vps = jnp.asarray(vps0[st.nb_idx[idx_p]])
+            nb_mask = jnp.asarray(st.nb_mask[idx_p])
+            bg_E, bg_V = _render_neighbor_bg(nb_vps, nb_mask, patches)
+            key, sub = jr.split(key)
+            res = fit_sources_svi(sub, vp0, patches, bg_E, bg_V,
+                                  config=svi_config)
+            vp = np.asarray(res.vp)[:len(idx)]
+            elbo_v = np.asarray(res.elbo)[:len(idx)]
+        except Exception as exc:
+            if not is_production_run():
+                raise
+            Log.exception(exc)
+            telemetry.counters.failures += len(idx)
+            continue
+        telemetry.record_launch_wall(t0, f"svi n={len(idx)} pad={pad} P{P}")
+        idxa = np.asarray(idx)
+        st.vps[idxa] = vp
+        st.elbos[idxa] = elbo_v
+        st.converged[idxa] = np.isfinite(elbo_v)
+        st.iters[idxa] += svi_config.steps
+        telemetry.counters.sources_fit += len(idx)
+        # each SVI step scores ~pixel_fraction of the active pixels
+        telemetry.counters.pixel_visits += int(
+            counts[:len(idx)].sum() * svi_config.steps
+            * min(svi_config.pixel_fraction, 1.0))
+    telemetry.counters.report("svi infer")
+    return _collect_results(st)
+
+
 def bad_sky(ce, images):
     """Flag sources whose background intensity estimate looks inconsistent
     with the observed pixels (ParallelRun.jl:437-461)."""
@@ -1459,7 +1585,7 @@ def _collect_results(st: InferenceState):
 def infer_box(images, box=None, method="joint_vi", catalog=None,
               config=Config(), **detect_kwargs):
     """Detect (or take) a catalog and infer all sources inside `box`
-    (ParallelRun.jl:652-673). method: joint_vi | single_vi | mcmc.
+    (ParallelRun.jl:652-673). method: joint_vi | single_vi | svi | mcmc.
 
     Phase wall times (detect / infer incl. collect) are logged, mirroring
     the reference's box-level @time reporting (ParallelRun.jl:655-669)."""
@@ -1491,6 +1617,9 @@ def infer_box(images, box=None, method="joint_vi", catalog=None,
     elif method == "single_vi":
         out = one_node_single_infer(catalog, images, targets, config,
                                     active_boxes=active_boxes)
+    elif method == "svi":
+        out = one_node_svi_infer(catalog, images, targets, config,
+                                 active_boxes=active_boxes)
     elif method == "mcmc":
         from ..mcmc.infer import one_node_mcmc_infer
         out = one_node_mcmc_infer(catalog, images, targets, config)

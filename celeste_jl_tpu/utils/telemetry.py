@@ -39,9 +39,20 @@ class Counters:
     # slowest lane of that step converges, so this, not mean iters, is the
     # wall-time driver).
     serial_steps: int = 0
+    # model FLOPs of the USEFUL fit work (real lanes only; utils/flops.py
+    # per-fit model) — converts fits/s into achieved FLOP/s vs chip peak.
+    model_flops: float = 0.0
 
     def reset(self):
         self.__init__()
+
+    def mfu(self):
+        """(achieved model FLOP/s over summed launch wall, fraction of the
+        chip's bf16 peak or None if the device is unknown)."""
+        from .flops import mfu as _mfu
+        if self.launch_s <= 0:
+            return 0.0, None
+        return _mfu(self.model_flops, self.launch_s)
 
     def utilization(self):
         total = self.pixel_visits + self.padded_visits
@@ -51,6 +62,7 @@ class Counters:
         ut = self.utilization()
         visits_per_s = (self.pixel_visits / self.launch_s
                         if self.launch_s > 0 else 0.0)
+        achieved, mfu = self.mfu()
         Log.info(
             f"{prefix}: {self.sources_fit} fits in {self.launches} launches "
             f"({self.launch_s:.2f}s), {self.pixel_visits:.3g} pixel-visits "
@@ -58,6 +70,8 @@ class Counters:
             f"{self.newton_iters} newton iters"
             + (f" ({self.serial_steps} serialized)" if self.serial_steps
                else "")
+            + f", {achieved / 1e9:.1f} model GFLOP/s"
+            + (f" (MFU {100 * mfu:.3f}%)" if mfu is not None else "")
             + f", {self.failures} failures")
 
 
@@ -96,11 +110,14 @@ def launch_timer(label=""):
 
 
 def record_fit_launch(n_real, n_padded, pixels_per_lane_real,
-                      pixels_per_lane_total, f_calls):
+                      pixels_per_lane_total, f_calls, tile=None, bands=5,
+                      hess_every=6):
     """Account one fit_sources launch: n_real real lanes and n_padded padding
     lanes of a tile with `pixels_per_lane_total` pixel slots of which
     `pixels_per_lane_real` (per real lane, summed) were mask-true. f_calls:
-    per-lane Newton function evaluations (array, length n_real+n_padded)."""
+    per-lane Newton function evaluations (array, length n_real+n_padded).
+    tile/bands/hess_every: when tile is given, the real lanes' useful work
+    is also priced in model FLOPs (utils/flops.py)."""
     import numpy as np
 
     f = np.asarray(f_calls)
@@ -112,3 +129,8 @@ def record_fit_launch(n_real, n_padded, pixels_per_lane_real,
     total = float(pixels_per_lane_total) * float(f.sum())
     counters.pixel_visits += int(real)
     counters.padded_visits += int(max(total - real, 0.0))
+    if tile is not None and n_real:
+        from .flops import fit_flops
+        iters = np.maximum(real_calls - 1, 0)   # f_calls = 1 + TR steps
+        counters.model_flops += fit_flops(iters, real_calls, tile,
+                                          B=bands, hess_every=hess_every)

@@ -129,7 +129,11 @@ def test_dual_init_launch_keeps_better_basin():
     e_fresh, _ = fit({"fresh_init": True})
     e_dual, vp_dual = fit({"dual_init": True})
     best = np.maximum(e_warm, e_fresh)
-    assert np.all(e_dual >= best - 1e-6), (e_dual, e_warm, e_fresh)
+    # slack = the basin-acceptance margin (near-ties keep the warm basin,
+    # parallel/run._beats) plus optimizer tolerance
+    from celeste_jl_tpu.parallel.run import BASIN_MARGIN_REL
+    slack = 1e-6 + BASIN_MARGIN_REL * np.abs(best)
+    assert np.all(e_dual >= best - slack), (e_dual, e_warm, e_fresh)
     assert np.all(np.isfinite(vp_dual))
 
 

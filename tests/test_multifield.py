@@ -31,24 +31,18 @@ def test_two_fields_one_launch_matches_per_field():
 
     # sources in these fields never conflict, so per-lane fits are
     # schedule-independent: the merged launch must reproduce the
-    # single-field launches to optimizer-tolerance level. (Not bit-exact:
-    # the merged launch compiles at a different lane width, and XLA's
-    # batch-width-dependent vectorization of the batched eigh/cond bodies
-    # shifts f64 rounding ~1e-16/step, which ~44 chaotic Newton steps
-    # amplify. Well-determined params (position; the tight pos box makes
-    # 1e-6 ~1% of the box) and the ELBO itself must agree tightly; the
-    # near-zero FLAT directions (color means/vars of a faint component,
-    # curvature ~0 at the optimum) may wander ~1e-4 within the ftol basin
-    # between widths. Same-width determinism is pinned bit-exactly by
-    # test_pipelined_matches_sequential below.)
+    # single-field launches BIT-EXACTLY. Both paths now stage isolated
+    # targets through the same code (_fit_isolated_multi) at the same
+    # >=32-lane padded widths, so the compiled programs are identical and
+    # per-lane vmap computation is content-independent; basin selection is
+    # additionally margin-robust (_beats) so near-ties cannot flip with
+    # packing.
     for fld, got in zip((f1, f2), multi):
         alone = one_node_joint_infer(fld["catalog"], fld["images"],
                                      config=cfg, seed=42)
         for a, b in zip(alone, got):
-            np.testing.assert_allclose(b.vs[ids.pos], a.vs[ids.pos],
-                                       rtol=0, atol=1e-6)
-            np.testing.assert_allclose(b.vs, a.vs, rtol=1e-4, atol=5e-4)
-            np.testing.assert_allclose(b.elbo, a.elbo, rtol=1e-8)
+            np.testing.assert_array_equal(b.vs, a.vs)
+            assert b.elbo == a.elbo
 
     # and the fits themselves are right
     for got in multi:

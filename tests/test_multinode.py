@@ -97,3 +97,46 @@ def test_failure_then_success(tmp_path):
 def test_box_name_roundtrip_is_stable():
     b = BoundingBox(12.3456, 12.5, -1.25, -1.0)
     assert box_name(b) == "12.3456-12.5000--1.2500--1.0000"
+
+
+def test_pipelined_worker_drains_queue_end_to_end(tmp_path):
+    """run_worker_pipelined: claims boxes in groups, streams them through
+    the fused multi-field pipeline (load+detect of group k+1 overlapping
+    group k's launch), saves every box's results, and resumes to nothing."""
+    from celeste_jl_tpu.parallel.multinode import run_worker_pipelined
+    from celeste_jl_tpu.synthetic import (gen_images, make_blank_images,
+                                          sample_galaxy, sample_star)
+    from celeste_jl_tpu.utils.config import Config
+
+    # 3 synthetic "boxes" (RA strips 16 wide), each its own little field
+    # (identity WCS: world coords = pixel coords); both of a box's sources
+    # sit inside its strip so both are targets of that box
+    def make_field(seed, cx):
+        images = make_blank_images(H=48, W=48, sky_nmgy=0.05,
+                                   nelec_per_nmgy=2000.0)
+        truth = [sample_star(pos=(cx - 4.0, 14.0), r_flux=25.0),
+                 sample_galaxy(pos=(cx + 4.0, 34.0), r_flux=35.0,
+                               gal_radius_px=2.0)]
+        gen_images(images, truth, seed=seed)
+        return images
+
+    boxes = split_box(BoundingBox(0.0, 48.0, 0.0, 48.0), 3, 1)
+    fields = {box_name(b): make_field(7 + i, 8.0 + 16.0 * i)
+              for i, b in enumerate(boxes)}
+    q = FileWorkQueue(str(tmp_path), boxes)
+
+    done = run_worker_pipelined(
+        q, load_images=lambda b: fields[box_name(b)],
+        config=Config(min_radius_pix=8.0), group_boxes=2,
+        detect_kwargs=dict(thresh=6.0, boxsize=(48, 48),
+                           match_radius_deg=1.0))
+    assert done == 3
+    assert q.pending() == []
+    # every box found its 2 sources and the results round-trip
+    for b in boxes:
+        d = np.load(q._result_file(b))
+        assert d["vs"].shape == (2, 44)
+        assert np.all(np.isfinite(d["elbo"]))
+    # resume: nothing left
+    assert run_worker_pipelined(
+        q, load_images=lambda b: fields[box_name(b)]) == 0

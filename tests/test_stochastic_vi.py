@@ -51,3 +51,28 @@ def test_svi_trace_increases(star_batch):
     trace = np.asarray(res.elbo_trace[0])
     assert trace[-1] > trace[0]
     assert np.all(np.isfinite(trace))
+
+
+def test_svi_first_class_through_infer_box():
+    """SVI is a driver-level method: infer_box(method="svi") detects and
+    fits end to end (the reference's StochasticVI.jl is an empty stub;
+    here it is reachable like joint_vi/single_vi/mcmc)."""
+    from celeste_jl_tpu.parallel.run import infer_box
+    from celeste_jl_tpu.synthetic import sample_galaxy
+    from celeste_jl_tpu.utils.config import Config
+
+    images = make_blank_images(H=50, W=50, sky_nmgy=0.05,
+                               nelec_per_nmgy=2000.0)
+    truth = [sample_star(pos=(16.0, 16.0), r_flux=25.0),
+             sample_galaxy(pos=(34.0, 34.0), r_flux=35.0,
+                           gal_radius_px=2.0)]
+    gen_images(images, truth, seed=5)
+    results = infer_box(images, method="svi", config=Config(),
+                        thresh=6.0, boxsize=(50, 50), match_radius_deg=1.0)
+    assert len(results) == 2
+    by_star = sorted(results, key=lambda r: -r.vs[ids.is_star[0]])
+    assert by_star[0].vs[ids.is_star[0]] > 0.5     # the star
+    assert by_star[1].vs[ids.is_star[0]] < 0.5     # the galaxy
+    for r in results:
+        assert np.isfinite(r.elbo)
+        assert r.converged
