@@ -110,6 +110,30 @@ def main():
     # only extended galaxies are decisively non-star (see tests); report
     # galaxy recall as the accuracy proxy
     gal_correct = float(np.mean(pstar[~truth] < 0.5))
+
+    # AIS posterior calibration: within-k-sigma fractions of the winning
+    # model's chain vs generating truth (the VI path's overconfident
+    # mean-field colors are the motivation — calibrated ~0.38/0.68/0.95,
+    # AccuracyBenchmark.jl:978-1026 semantics)
+    from celeste_jl_tpu.mcmc.infer import samples_to_dataframe
+    fields = ("log_flux_r", "color_ug", "color_gr", "color_ri", "color_iz")
+    hits = {f: [] for f in fields}
+    for r, c in zip(res, catalog):
+        is_star = r["ave_pstar"] > 0.5
+        df = samples_to_dataframe(
+            r["star_samples" if is_star else "gal_samples"], is_star)
+        tf = np.log(np.asarray(c.star_fluxes if c.is_star else c.gal_fluxes))
+        t = {"log_flux_r": tf[2], "color_ug": tf[1] - tf[0],
+             "color_gr": tf[2] - tf[1], "color_ri": tf[3] - tf[2],
+             "color_iz": tf[4] - tf[3]}
+        for f in fields:
+            mu, sd = float(df[f].mean()), float(df[f].std(ddof=1))
+            if sd > 0:
+                hits[f].append(abs(mu - t[f]) / sd)
+    calib = {f: {f"within_{k}_sd": round(float(np.mean(
+                 np.asarray(hits[f]) < k)), 3) for k in (0.5, 1, 2, 3)}
+             for f in fields if hits[f]}
+
     out = {
         "metric": "mcmc_ais_sources_per_sec_per_chip",
         "value": round(S / best, 3),
@@ -120,6 +144,7 @@ def main():
         "compile_plus_first_run_s": round(compile_s, 1),
         "ais_config": "50 temps x 10 samples + 25-step chains, both models",
         "galaxy_recall": gal_correct,
+        "ais_calibration_within_k_sd": calib,
         "loglike_micro_ms": micro,
         "backend": jax.default_backend(),
     }

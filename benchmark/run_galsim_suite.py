@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--scenes", default=None,
                     help="comma-separated subset of scene names")
     ap.add_argument("--out", default=None, help="output directory")
+    ap.add_argument("--radius", type=float, default=40.0,
+                    help="min active radius in px (the reference forces 40, "
+                         "ACTIVE_PIXELS_MIN_RADIUS_PX; frac_dev of a "
+                         "truncated dev profile is identified by its wings)")
     args = ap.parse_args()
 
     from celeste_jl_tpu.benchmark import accuracy as ab
@@ -48,7 +52,8 @@ def main():
     outdir = args.out or os.path.join(os.path.dirname(os.path.abspath(__file__)))
 
     t0 = time.time()
-    truth_df, pred_df = run_benchmarks(names, joint_inference=args.joint)
+    truth_df, pred_df = run_benchmarks(names, joint_inference=args.joint,
+                                       min_radius_pix=args.radius)
     wall = time.time() - t0
 
     # Field scores from the objid-aligned per-row error df. run_benchmarks
@@ -88,9 +93,31 @@ def main():
         print("uncertainty scoring skipped:", exc)
 
     # reference accuracy gate (disabled_test_galsim_benchmarks.jl:29-47)
-    from celeste_jl_tpu.benchmark.galsim import (estimate_violations,
+    from celeste_jl_tpu.benchmark.galsim import (SCENES_BY_NAME,
+                                                 estimate_violations,
                                                  truth_comparison_df)
     violations = estimate_violations(truth_comparison_df(truth_df, pred_df))
+
+    # NOISE-FREE gate: the deterministic bar. Scenes that are noisy by
+    # design are re-run with noise off; estimate_violations must be 0 here
+    # (any as-defined violations above are then attributable to seed
+    # scatter on weakly-identified directions, not fit bias).
+    noisy_names = [n for n in names
+                   if n in SCENES_BY_NAME and SCENES_BY_NAME[n].include_noise]
+    nf_violations = []
+    if noisy_names:
+        t_nf, p_nf = run_benchmarks(noisy_names, joint_inference=args.joint,
+                                    min_radius_pix=args.radius,
+                                    force_noise_free=True)
+        quiet = [n for n in names if n not in noisy_names]
+        t_q = truth_df[truth_df.objid.str.rsplit("_", n=1).str[0]
+                       .isin(quiet)]
+        p_q = pred_df[pred_df.objid.str.rsplit("_", n=1).str[0].isin(quiet)]
+        import pandas as pd
+        t_all = pd.concat([t_q, t_nf], ignore_index=True)
+        p_all = pd.concat([p_q, p_nf], ignore_index=True)
+        nf_violations = estimate_violations(truth_comparison_df(t_all,
+                                                                p_all))
 
     md_path = os.path.join(outdir, "galsim_results.md")
     with open(md_path, "w") as f:
@@ -102,11 +129,18 @@ def main():
                 "with that field defined; objid-aligned rows)\n\n")
         f.write(scores.to_markdown(index=False))
         f.write(f"\n\nReference tolerance gate "
-                f"(disabled_test_galsim_benchmarks.jl): "
+                f"(disabled_test_galsim_benchmarks.jl), scenes as defined "
+                f"(incl. noisy), radius {args.radius:.0f}px: "
                 f"{len(violations)} violations"
                 + ("" if not violations else " — " + "; ".join(
                     f"{o}.{v} truth={t:.3f} est={e:.3f}"
                     for o, v, t, e, _ in violations[:20])) + "\n")
+        f.write(f"\nNOISE-FREE gate (noisy-by-design scenes re-run with "
+                f"noise off — the deterministic bar): "
+                f"{len(nf_violations)} violations"
+                + ("" if not nf_violations else " — " + "; ".join(
+                    f"{o}.{v} truth={t:.3f} est={e:.3f}"
+                    for o, v, t, e, _ in nf_violations[:20])) + "\n")
         if unc is not None:
             f.write("\n\n## Posterior uncertainty calibration "
                     "(fraction of errors within k posterior std errs; "
@@ -122,9 +156,12 @@ def main():
     flux_err = np.abs(pred_df["flux_r_nmgy"] - truth_df["flux_r_nmgy"]) \
         / truth_df["flux_r_nmgy"]
     print(f"scenes={len(names)} sources={len(truth_df)} wall={wall:.0f}s")
-    print(f"tolerance-gate violations: {len(violations)}")
+    print(f"tolerance-gate violations (as defined): {len(violations)}")
     for v in violations:
         print("  VIOLATION:", v)
+    print(f"noise-free gate violations: {len(nf_violations)}")
+    for v in nf_violations:
+        print("  NF-VIOLATION:", v)
     print(f"type accuracy: {acc:.3f}")
     print(f"median rel flux err: {float(np.median(flux_err)):.4f}")
     print(f"wrote {md_path} and {csv_path}")

@@ -177,14 +177,20 @@ def run_ais(ce, images, patch=None, neighbor_entries=(), pos_delta=(2.0, 2.0),
 def run_ais_batched(catalog, images, targets=None, neighbor_map=None,
                     radii=None, num_temperatures=50, num_samples=10,
                     num_samples_per_chain=25, pos_delta=(2.0, 2.0),
-                    max_neighbors=8, seed=0, config=None):
-    """Batched AIS over many sources: ONE device launch for the whole
-    target list (vs the reference's per-source thread loop,
+                    max_neighbors=8, seed=0, config=None, chunk_lanes=32):
+    """Batched AIS over many sources: one device launch per <=chunk_lanes
+    chunk of the target list (vs the reference's per-source thread loop,
     ParallelRun.jl:546-607). Returns a list of per-source result dicts in
-    target order, same schema as run_ais."""
-    from ..models.patches import make_patches_batched
-    from ..parallel.run import _next_pow2, _tile_for_radius, find_neighbors, \
-        patch_radii
+    target order, same schema as run_ais.
+
+    chunk_lanes: lane cap per launch. The AIS program's working set scales
+    with lanes x (temperature ladder x slice-sweep state x posterior
+    chains); one 64-lane launch crashed the TPU runtime ("UNAVAILABLE:
+    worker restarted" at result transfer, benchmark/mcmc_results.md round
+    2). Chunks reuse the same compiled program (power-of-two lane widths),
+    bound the device working set AND the per-transfer size, and stream
+    results back chunk by chunk."""
+    from ..parallel.run import _tile_for_radius, find_neighbors, patch_radii
     from ..utils.config import Config
 
     config = config or Config()
@@ -197,8 +203,26 @@ def run_ais_batched(catalog, images, targets=None, neighbor_map=None,
     if neighbor_map is None:
         neighbor_map = find_neighbors(catalog, radii, images)
 
-    # one shared tile: launch shapes are compile keys
+    # one shared tile across chunks: launch shapes are compile keys
     tile = max(_tile_for_radius(radii[s]) for s in targets)
+    results = []
+    for i0 in range(0, len(targets), chunk_lanes):
+        results.extend(_run_ais_chunk(
+            catalog, images, targets[i0:i0 + chunk_lanes], neighbor_map,
+            radii, tile, num_temperatures, num_samples,
+            num_samples_per_chain, pos_delta, max_neighbors,
+            seed + 7919 * (i0 // chunk_lanes)))
+    return results
+
+
+def _run_ais_chunk(catalog, images, targets, neighbor_map, radii, tile,
+                   num_temperatures, num_samples, num_samples_per_chain,
+                   pos_delta, max_neighbors, seed):
+    """One padded AIS launch over <= chunk_lanes targets (see
+    run_ais_batched)."""
+    from ..models.patches import make_patches_batched
+    from ..parallel.run import _next_pow2
+
     S = len(targets)
     S_pad = _next_pow2(S)
     lanes = targets + [targets[0]] * (S_pad - S)

@@ -46,13 +46,21 @@ class NewtonConfig(NamedTuple):
     # overlapping-source fits (tests/test_infer.py, p_star 0.995 -> 0.005
     # at he=8); 6 tracks exact-Newton trajectories.
     # bisect_iters: iterations on the TR secular equation per step;
-    # `secular` picks the iteration: "newton" = safeguarded Newton
-    # (quadratic convergence; 16 iterations resolve lam far past f32
-    # precision with a 3x shorter serialized in-graph chain) or "bisect" =
-    # pure bisection on the bracket (the round-1 behavior at 48
-    # iterations; linear convergence but 1 dot/iter instead of 2).
-    bisect_iters: int = 16
-    secular: str = "newton"
+    # `secular` picks the iteration: "bisect" = pure bisection on the
+    # bracket (1 dot product + a compare per iteration) or "newton" =
+    # safeguarded Newton (quadratic convergence, fewer iterations needed).
+    # MEASURED on the TPU v5e headline bench (1024 lanes, identical seeds):
+    # bisect/48 552.1 fits/s vs newton/16 482.4 vs newton/8 479.2 — the
+    # round-2 bisect->newton swap was an UNBENCHED 11% regression
+    # (554.7 -> 494.1, BENCH_r01/r02) now reverted. The chain-length
+    # argument was wrong on hardware: the secular-Newton body's extra dot
+    # products and divisions cost more than 3x a bisection per iteration,
+    # and its cost barely falls from 16 to 8 iterations (482 -> 479), so
+    # the scan is throughput-bound on body cost, not length. Fit
+    # trajectories at bisect/48 are bit-identical to round 1
+    # (mean_newton_iters 58.404 on the bench, the r01 value).
+    bisect_iters: int = 48
+    secular: str = "bisect"
     hess_every: int = 6
     # TR subproblem solver, all nearly-exact Moré-Sorensen in an eigenbasis
     # except "cg":
@@ -116,7 +124,7 @@ class NewtonState(NamedTuple):
     converged: jnp.ndarray
 
 
-def _solve_tr_eig(gq, w, delta, bisect_iters=16, secular="newton"):
+def _solve_tr_eig(gq, w, delta, bisect_iters=48, secular="bisect"):
     """TR subproblem in the eigenbasis: argmin gq.p + 0.5 p'diag(w)p,
     ||p|| <= delta. w need not be sorted (the Jacobi path's is not).
     Returns (p_eig, predicted_reduction >= 0)."""
@@ -134,12 +142,11 @@ def _solve_tr_eig(gq, w, delta, bisect_iters=16, secular="newton"):
     newton_norm = jnp.linalg.norm(p_newton)
     interior = (lam_min > eps) & (newton_norm <= delta)
 
-    # Otherwise find lam > max(0, -lam_min) with ||p(lam)|| = delta:
-    # safeguarded Newton on the secular equation 1/delta - 1/||p(lam)|| = 0
-    # (More-Sorensen / Nocedal-Wright Alg. 4.3 in the eigenbasis). Newton
-    # converges quadratically where 48 bisections converged linearly, so
-    # the serialized in-graph chain is 3x shorter for tighter lam — this
-    # scan is on the latency-bound fused schedule's critical path.
+    # Otherwise find lam > max(0, -lam_min) with ||p(lam)|| = delta, by
+    # either pure bisection (default; cheapest scan body — see the
+    # NewtonConfig.bisect_iters measurement note) or safeguarded Newton on
+    # the secular equation 1/delta - 1/||p(lam)|| = 0 (More-Sorensen /
+    # Nocedal-Wright Alg. 4.3 in the eigenbasis).
     lo = jnp.maximum(0.0, -lam_min) + eps
     hi = jnp.maximum(lo * 2.0 + 1.0,
                      jnp.linalg.norm(gq) / jnp.maximum(delta, eps)
@@ -197,7 +204,7 @@ def _solve_tr_eig(gq, w, delta, bisect_iters=16, secular="newton"):
     return p, jnp.maximum(pred, 0.0)
 
 
-def solve_tr_subproblem(g, H, delta, bisect_iters=16, secular="newton"):
+def solve_tr_subproblem(g, H, delta, bisect_iters=48, secular="bisect"):
     """argmin_p g.p + 0.5 p'Hp  s.t. ||p|| <= delta (nearly exact).
 
     Returns (p, predicted_reduction) with predicted_reduction >= 0.

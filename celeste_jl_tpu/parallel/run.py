@@ -818,25 +818,6 @@ def _fused_joint_finish(handle):
     telemetry.counters.model_flops += float(fl)
 
 
-def _fused_joint_run_multi(states, classes, newton_config, n_sweeps,
-                           n_restart, mesh=None):
-    """Dispatch + finish in one call (the non-pipelined path). Returns
-    False if staging exceeded the device budget."""
-    handle = _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
-                                   n_restart, mesh=mesh)
-    if handle is None:
-        return False
-    _fused_joint_finish(handle)
-    return True
-
-
-def _fused_joint_run(st: "InferenceState", classes, newton_config,
-                     n_sweeps, n_restart, mesh=None):
-    """Single-field wrapper over _fused_joint_run_multi."""
-    return _fused_joint_run_multi([st], classes, newton_config, n_sweeps,
-                                  n_restart, mesh=mesh)
-
-
 def _capped_step_config(newton_config: NewtonConfig, config: Config):
     """Per-class-step Hessian-refresh budget for the JOINT schedules
     (Config.joint_step_refreshes; CELESTE_STEP_CAP overrides for A/B).
@@ -1134,32 +1115,46 @@ def one_node_joint_infer(catalog, images, target_sources=None,
             and os.environ.get("CELESTE_FUSED", "1") != "0"):
         telemetry.counters.reset()
         try:
+            # Dispatch the fused constrained-class schedule FIRST (async),
+            # then stage + fit the isolated targets while it is in flight —
+            # the joint_infer_fields ordering, which overlaps the isolated
+            # launches' host staging with the fused program's device time.
+            # Legal because an isolated target is never a neighbor of a
+            # constrained target (a conflict edge would make both
+            # constrained), so neither launch reads the other's updates.
+            handle = None
+            if constrained:
+                # Default schedule = the width-capped lane-step-cost packer
+                # (fused_color_classes, measured linear cost model:
+                # k * sum_t W_t * lane_step_cost(t)). Packer choice is
+                # accuracy-NEUTRAL (a 5-field A/B measured mean type
+                # accuracy 0.911 capped vs 0.908 balanced vs 0.910
+                # reference-style Cyclades waves — field draw variance
+                # dominates, benchmark/field_results.md).
+                # CELESTE_FUSED_PACK=0 restores the balanced host-path
+                # classes (also what the bit-exactness test pins).
+                if os.environ.get("CELESTE_FUSED_PACK", "1") not in ("0",):
+                    fused_cls = fused_color_classes(
+                        constrained, nb_for_targets,
+                        np.random.default_rng(seed),
+                        tile={s: int(st.tile[s]) for s in constrained})
+                else:
+                    fused_cls = sweeps[0]
+                handle = _fused_joint_dispatch(
+                    [st], fused_cls, step_config,
+                    n_sweeps=config.num_joint_vi_iters,
+                    n_restart=1 if restart_final else 0, mesh=mesh)
             fit_isolated()
             isolated_done = True
             if not constrained:
                 telemetry.counters.report("joint infer (fused)")
                 return _collect_results(st)
-            # Default schedule = the width-capped lane-step-cost packer
-            # (fused_color_classes, measured linear cost model:
-            # k * sum_t W_t * lane_step_cost(t)). Packer choice is
-            # accuracy-NEUTRAL (a
-            # 5-field A/B measured mean type accuracy 0.911 capped vs
-            # 0.908 balanced vs 0.910 reference-style Cyclades waves —
-            # field draw variance dominates, benchmark/field_results.md).
-            # CELESTE_FUSED_PACK=0 restores the balanced host-path classes
-            # (also what the bit-exactness test pins).
-            if os.environ.get("CELESTE_FUSED_PACK", "1") not in ("0",):
-                fused_cls = fused_color_classes(
-                    constrained, nb_for_targets, np.random.default_rng(seed),
-                    tile={s: int(st.tile[s]) for s in constrained})
-            else:
-                fused_cls = sweeps[0]
-            if _fused_joint_run(st, fused_cls, step_config,
-                                n_sweeps=config.num_joint_vi_iters,
-                                n_restart=1 if restart_final else 0,
-                                mesh=mesh):
+            if handle is not None:
+                _fused_joint_finish(handle)
                 telemetry.counters.report("joint infer (fused)")
                 return _collect_results(st)
+            # handle is None: the merged staging exceeded the device
+            # budget — fall through to the host-driven schedule below
         except Exception as exc:
             if not is_production_run():
                 raise
