@@ -101,7 +101,11 @@ def main():
 
     out = {}
     for rep in range(REPEAT):
-        base = SEED + 10_000 * rep
+        # Same fields every pass: pass 0 pays the compiles, later passes
+        # time the SAME program warm (different seeds drew layouts whose
+        # class counts crossed power-of-two pads — a fresh compile that
+        # made "warm" passes cold).
+        base = SEED
         t_detect_box = [0.0]
 
         def build_field(f):

@@ -661,7 +661,11 @@ def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
         for s in st.targets:
             tile_of[o + s] = int(st.tile[s])
     tiles = sorted({tile_of[m] for cls in classes for m in cls})
-    C = _next_pow2(len(classes))
+    # Floor the padded class count: empty classes are runtime-gated
+    # (has[c]=False skips the sub-fit via lax.cond) so they cost nothing,
+    # but 4-vs-5 real classes otherwise pads C to 4 vs 8 — a fresh
+    # multi-minute XLA compile per box-group layout in a farm run.
+    C = max(_next_pow2(len(classes)), 8)
     S_pad = _next_pow2(S_tot)
     B = len(states[0].images)
 
@@ -839,8 +843,25 @@ def _capped_step_config(newton_config: NewtonConfig, config: Config):
         cap = 0
     cap = cap or config.joint_step_refreshes
     if cap and cap < newton_config.max_iters:
-        return newton_config._replace(max_iters=cap)
-    return newton_config
+        newton_config = newton_config._replace(max_iters=cap)
+    # The TR secular solver's optimum is LAUNCH-WIDTH-DEPENDENT (both
+    # measured on the v5e): wide launches (the 1024-lane bench, the
+    # compacted isolated fits) are throughput-bound, where 48 cheap
+    # bisections beat 16 secular-Newton iterations (552 vs 482 fits/s);
+    # the fused joint schedule's narrow per-(class, bucket) sub-fits
+    # (W ~ 32-128) are latency-bound on the serialized scan, where the 3x
+    # shorter Newton chain wins (8-field farm run: 53.7 device fits/s at
+    # newton/16 in round 2 vs 39.3 at bisect/48). So the per-step config
+    # switches to newton/16 here while everything wide keeps the
+    # bisect/48 default. CELESTE_STEP_SECULAR / CELESTE_STEP_BISECT
+    # override for A/Bs.
+    secular = os.environ.get("CELESTE_STEP_SECULAR", "newton")
+    try:
+        bisect_iters = int(os.environ.get("CELESTE_STEP_BISECT", "16"))
+    except ValueError:
+        bisect_iters = 16
+    return newton_config._replace(secular=secular,
+                                  bisect_iters=bisect_iters)
 
 
 def _waves(components):
