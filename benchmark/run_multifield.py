@@ -156,7 +156,11 @@ def main():
             wall = time.time() - t1
         t_detect = t_detect_box[0]
         c = telemetry.counters
-        fits, launch_s, util = c.sources_fit, c.launch_s, c.utilization()
+        fits, util = c.sources_fit, c.utilization()
+        # device-busy wall = UNION of launch-pending intervals: the summed
+        # per-launch walls double-count overlap (the isolated launches queue
+        # behind the in-flight fused program — see telemetry docstring)
+        launch_s, launch_sum_s = c.busy_s(), c.launch_s
         achieved_fl, mfu_frac = c.mfu()
 
         n_det = n_match = 0
@@ -187,7 +191,8 @@ def main():
             "median_flux_relerr": (round(float(np.median(all_errs)), 4)
                                    if all_errs else None),
             "fits": fits,
-            "launch_wall_s": round(launch_s, 2),
+            "device_busy_s": round(launch_s, 2),
+            "launch_wall_sum_s": round(launch_sum_s, 2),
             # catalog throughput device-side: detected sources per second
             # of summed launch wall — the honest farm number now that
             # isolated targets are fit once instead of riding all

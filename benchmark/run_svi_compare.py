@@ -129,9 +129,9 @@ def main():
                 "mean_elbo": round(mean_elbo, 1),
                 "wall_s": round(wall, 2),
                 "sources_per_sec": round(len(catalog) / wall, 2),
-                "device_launch_s": round(c.launch_s, 2),
-                "device_sources_per_sec": (round(len(catalog) / c.launch_s,
-                                                 2) if c.launch_s else None),
+                "device_busy_s": round(c.busy_s(), 2),
+                "device_sources_per_sec": (round(len(catalog) / c.busy_s(),
+                                                 2) if c.busy_s() else None),
                 "backend": jax.default_backend(),
                 "pass": rep,
             }

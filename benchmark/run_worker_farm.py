@@ -115,9 +115,10 @@ def main():
             "n_inferred": n_out,
             "wall_s": round(wall, 1),
             "fits": c.sources_fit,
-            "launch_wall_s": round(c.launch_s, 2),
-            "device_sources_per_sec": (round(n_out / c.launch_s, 2)
-                                       if c.launch_s else None),
+            "device_busy_s": round(c.busy_s(), 2),
+            "launch_wall_sum_s": round(c.launch_s, 2),
+            "device_sources_per_sec": (round(n_out / c.busy_s(), 2)
+                                       if c.busy_s() else None),
             "utilization": round(c.utilization(), 3),
             "achieved_model_gflops_per_s": round(achieved_fl / 1e9, 1),
             "mfu": (round(mfu_frac, 6) if mfu_frac is not None else None),

@@ -10,7 +10,17 @@ and logs per-batch thread wall times and idle percentage
   * padded_visits     — same, but for padding lanes / masked-out pixels: work
                         the device does that a perfectly-ragged launch would
                         not (the analog of thread idle time);
-  * launches, launch_s — batched device launches and their wall time.
+  * launches, launch_s — batched device launches and their wall time;
+  * busy_s()           — the UNION of the launch-pending intervals.
+
+launch_s SUMS per-launch walls, which double-counts when launches overlap in
+flight (JAX dispatch is async: the multi-field driver launches the fused
+class schedule, then the isolated fits queue behind it on the device — the
+isolated launch's dispatch->results wall then includes the fused program's
+execution). busy_s() merges the (dispatch, results) intervals instead: the
+length of time the device had >=1 launch pending, the honest device-side
+denominator for fits/s (it neither double-counts overlap nor credits idle
+gaps between launches).
 
 Utilization = pixel_visits / (pixel_visits + padded_visits) — the fraction of
 device pixel-work that was real, mirroring the reference's idle-percentage
@@ -42,17 +52,34 @@ class Counters:
     # model FLOPs of the USEFUL fit work (real lanes only; utils/flops.py
     # per-fit model) — converts fits/s into achieved FLOP/s vs chip peak.
     model_flops: float = 0.0
+    # (t_dispatch, t_results) spans of every launch, for busy_s()
+    intervals: list = field(default_factory=list)
 
     def reset(self):
         self.__init__()
 
+    def busy_s(self):
+        """Union length of the launch-pending intervals — the time the
+        device had at least one launch in flight (see module docstring;
+        launch_s over-counts overlapped launches)."""
+        total, end = 0.0, -1.0
+        for a, b in sorted(self.intervals):
+            if a > end:
+                total += b - a
+                end = b
+            elif b > end:
+                total += b - end
+                end = b
+        return total
+
     def mfu(self):
-        """(achieved model FLOP/s over summed launch wall, fraction of the
+        """(achieved model FLOP/s over device-busy wall, fraction of the
         chip's bf16 peak or None if the device is unknown)."""
         from .flops import mfu as _mfu
-        if self.launch_s <= 0:
+        busy = self.busy_s()
+        if busy <= 0:
             return 0.0, None
-        return _mfu(self.model_flops, self.launch_s)
+        return _mfu(self.model_flops, busy)
 
     def utilization(self):
         total = self.pixel_visits + self.padded_visits
@@ -60,12 +87,13 @@ class Counters:
 
     def report(self, prefix="telemetry"):
         ut = self.utilization()
-        visits_per_s = (self.pixel_visits / self.launch_s
-                        if self.launch_s > 0 else 0.0)
+        busy = self.busy_s()
+        visits_per_s = self.pixel_visits / busy if busy > 0 else 0.0
         achieved, mfu = self.mfu()
         Log.info(
             f"{prefix}: {self.sources_fit} fits in {self.launches} launches "
-            f"({self.launch_s:.2f}s), {self.pixel_visits:.3g} pixel-visits "
+            f"({busy:.2f}s busy, {self.launch_s:.2f}s summed), "
+            f"{self.pixel_visits:.3g} pixel-visits "
             f"({visits_per_s:.3g}/s), utilization {100 * ut:.1f}%, "
             f"{self.newton_iters} newton iters"
             + (f" ({self.serial_steps} serialized)" if self.serial_steps
@@ -90,9 +118,11 @@ def record_launch_wall(t0, label=""):
     device busy time, the same quantity the reference's per-batch thread
     wall-times measure). Set CELESTE_LOG_LAUNCHES=1 to log each launch."""
     import os
-    dt = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    dt = t1 - t0
     counters.launches += 1
     counters.launch_s += dt
+    counters.intervals.append((t0, t1))
     if os.environ.get("CELESTE_LOG_LAUNCHES"):
         from . import log as Log
         Log.info(f"launch {label}: {dt:.2f}s")
