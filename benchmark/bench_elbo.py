@@ -40,9 +40,10 @@ def main():
 
     from __graft_entry__ import _synthetic_batch
     from celeste_jl_tpu.ops import bijectors
-    from celeste_jl_tpu.vi.elbo import elbo
+    from celeste_jl_tpu.vi.elbo import elbo, subtract_kl
     from celeste_jl_tpu.vi.optimize import (_analytic_lik_hessian,
-                                            _make_bounds, fit_sources)
+                                            _flat_likelihood, _make_bounds,
+                                            fit_sources)
 
     vp0, patches = _synthetic_batch(n_sources=S, tile=TILE, seed=0)
     vp0 = jnp.asarray(vp0)
@@ -50,6 +51,32 @@ def main():
     @jax.jit
     def elbo_batch(vps):
         return jax.vmap(lambda v, p: elbo(v, p))(vps, patches)
+
+    @jax.jit
+    def fg2d_batch(vps):
+        """Trial evaluator (value+grad) through the 2D (B, P, P) tile
+        render — the pre-flatten fg path, kept for the layout A/B."""
+        def one(v, p):
+            bounds = _make_bounds(v[0:2])
+            free = bijectors.to_free(bijectors.enforce(v, bounds), bounds)
+            return jax.value_and_grad(
+                lambda fr: -elbo(bijectors.to_bound(fr, bounds), p))(free)
+        return jax.vmap(one)(vps, patches)
+
+    @jax.jit
+    def fg_flat_batch(vps):
+        """Trial evaluator through the flat (P*P,) layout — what
+        vi/optimize.maximize's fg actually runs."""
+        def one(v, p):
+            bounds = _make_bounds(v[0:2])
+            free = bijectors.to_free(bijectors.enforce(v, bounds), bounds)
+
+            def neg_elbo(fr):
+                vp = bijectors.to_bound(fr, bounds)
+                return -(_flat_likelihood(vp, p, None, None)
+                         + subtract_kl(vp))
+            return jax.value_and_grad(neg_elbo)(free)
+        return jax.vmap(one)(vps, patches)
 
     @jax.jit
     def fgh_batch(vps):
@@ -80,6 +107,16 @@ def main():
                       "value": round(S / w, 1), "unit": "evals/s",
                       "batch": S, "tile": TILE,
                       "active_px_per_eval": px_per_lane,
+                      "backend": backend}))
+    w2d = timeit(fg2d_batch, vp0)
+    print(json.dumps({"metric": "fg2d_evals_per_sec",
+                      "value": round(S / w2d, 1), "unit": "evals/s",
+                      "batch": S, "tile": TILE, "backend": backend}))
+    wfl = timeit(fg_flat_batch, vp0)
+    print(json.dumps({"metric": "fg_flat_evals_per_sec",
+                      "value": round(S / wfl, 1), "unit": "evals/s",
+                      "batch": S, "tile": TILE,
+                      "speedup_vs_2d": round(w2d / wfl, 3),
                       "backend": backend}))
     w = timeit(fgh_batch, vp0)
     print(json.dumps({"metric": "fgh_evals_per_sec",

@@ -40,6 +40,7 @@ def main():
     enable_compile_cache()
 
     from celeste_jl_tpu.io.dataset import BoundingBox
+    from celeste_jl_tpu.io.wcs import LinearWCS
     from celeste_jl_tpu.parallel.multinode import (FileWorkQueue, box_name,
                                                    run_worker_pipelined,
                                                    split_box)
@@ -77,14 +78,24 @@ def main():
                       M, 1)
     out = {}
     for rep in range(REPEAT):
-        base = SEED + 10_000 * rep
+        # Same fields every pass: pass 0 pays the compiles, later passes
+        # time the same program warm (matches run_multifield.py).
+        base = SEED
         seed_of = {box_name(b): base + 1000 * f
                    for f, b in enumerate(boxes)}
 
         def load_images(box):
             # synthesized on demand: load cost is real host work that the
-            # pipeline must overlap with the in-flight launch
-            return make_field(seed_of[box_name(box)])
+            # pipeline must overlap with the in-flight launch. The field is
+            # synthesized in pixel space, then given a translated WCS so its
+            # sources land inside THIS box's world extent (box.contains is
+            # the worker's target filter; without this, only box 0 would
+            # have any targets and the other boxes save out empty).
+            images = make_field(seed_of[box_name(box)])
+            wcs = LinearWCS(crval=(box.ramin, box.decmin))
+            for img in images:
+                img.wcs = wcs
+            return images
 
         workdir = tempfile.mkdtemp(prefix=f"farm_r{rep}_")
         q = FileWorkQueue(workdir, boxes)

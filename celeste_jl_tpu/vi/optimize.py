@@ -54,19 +54,15 @@ def _make_bounds(pos, loc_width=1e-4, loc_scale=1.0):
     return bijectors.BoxBounds(lower, upper, static.scale)
 
 
-def _band_lik_terms(theta6, clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b,
-                    pixels_b, mask_b, sky_b, iota_b, bg_E_b, bg_var_b, P):
-    """One band's analytic likelihood derivative blocks in (theta6, Cb)
-    space, Cb = (cl0, cl1, cll0, cll1) the band's brightness coefficients.
+def _band_flat_fields(theta6, psf_b, jac_b, wc_b, pc_b, off_b, pixels_b,
+                      mask_b, sky_b, iota_b, bg_E_b, bg_var_b, P):
+    """Flatten one band's tile fields to (P*P,) vectors and render the flat
+    unit-flux densities fs0/fs1 via the mixture engine.
 
-    Per pixel the likelihood is phi(E, V) with E = sky + bg + s1,
-    V = bg_var + s2 - s1^2, s1 = cl.f, s2 = cll.f^2 linear in Cb given the
-    densities f = (fs0, fs1) — so every Hessian block is a weighted pixel
-    contraction of (f, J) fields with closed-form phi derivatives
-    (elbo_objective.jl:274-392 semantics, derivatives reorganized for MXU).
-
-    Returns (lik, g_theta (6,), g_C (4,), H_tt (6,6), H_tC (6,4),
-    H_CC (4,4)).
+    The flat layout is the TPU-native one: a (..., P, P) tile puts P in the
+    128-wide lane dim (P=32 wastes 4x, P=16 8x), while (..., P*P) packs
+    lanes densely. Shared head of the analytic-Hessian blocks AND the
+    value/grad trial evaluator so both see bit-identical fields.
     """
     dtype = pixels_b.dtype
     x1g, x2g = pixel_coord_grids(off_b, P, dtype=dtype)
@@ -83,18 +79,47 @@ def _band_lik_terms(theta6, clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b,
 
     fs0 = md.mixture_values(x1, x2, *sm)
     fs1 = md.mixture_values(x1, x2, *gm)
+    return x1, x2, msk, x, iota, a0, b0, sm, gm, fs0, fs1
 
-    cl0, cl1 = clb[0], clb[1]
-    cll0, cll1 = cllb[0], cllb[1]
-    s1 = cl0 * fs0 + cl1 * fs1
-    s2 = cll0 * fs0 ** 2 + cll1 * fs1 ** 2
+
+def _band_poisson_bound(clb, cllb, msk, x, iota, a0, b0, fs0, fs1):
+    """Masked Poisson-lower-bound terms of one band on flat fields.
+    Returns (lik, s1, s2, E, V) — the derivative blocks reuse the
+    intermediates (elbo_objective.jl:274-392)."""
+    s1 = clb[0] * fs0 + clb[1] * fs1
+    s2 = cllb[0] * fs0 ** 2 + cllb[1] * fs1 ** 2
     E = jnp.where(msk > 0, a0 + s1, 1.0)
     V = jnp.where(msk > 0, b0 + s2 - s1 ** 2, 0.0)
-
     from jax.scipy.special import gammaln
     phi = (x * (jnp.log(iota) + jnp.log(E) - V / (2.0 * E ** 2))
            - iota * E - gammaln(x + 1.0))
-    lik = jnp.sum(msk * phi)
+    return jnp.sum(msk * phi), s1, s2, E, V
+
+
+def _band_lik_terms(theta6, clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b,
+                    pixels_b, mask_b, sky_b, iota_b, bg_E_b, bg_var_b, P):
+    """One band's analytic likelihood derivative blocks in (theta6, Cb)
+    space, Cb = (cl0, cl1, cll0, cll1) the band's brightness coefficients.
+
+    Per pixel the likelihood is phi(E, V) with E = sky + bg + s1,
+    V = bg_var + s2 - s1^2, s1 = cl.f, s2 = cll.f^2 linear in Cb given the
+    densities f = (fs0, fs1) — so every Hessian block is a weighted pixel
+    contraction of (f, J) fields with closed-form phi derivatives
+    (elbo_objective.jl:274-392 semantics, derivatives reorganized for MXU).
+
+    Returns (lik, g_theta (6,), g_C (4,), H_tt (6,6), H_tC (6,4),
+    H_CC (4,4)).
+    """
+    dtype = pixels_b.dtype
+    (x1, x2, msk, x, iota, a0, b0, sm, gm,
+     fs0, fs1) = _band_flat_fields(
+        theta6, psf_b, jac_b, wc_b, pc_b, off_b, pixels_b, mask_b, sky_b,
+        iota_b, bg_E_b, bg_var_b, P)
+
+    cl0, cl1 = clb[0], clb[1]
+    cll0, cll1 = cllb[0], cllb[1]
+    lik, s1, s2, E, V = _band_poisson_bound(
+        clb, cllb, msk, x, iota, a0, b0, fs0, fs1)
 
     E2 = E * E
     E3 = E2 * E
@@ -151,6 +176,41 @@ def _band_lik_terms(theta6, clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b,
                                jnp.sum(h12 * fs1 * fs1 ** 2)])])
     H_CC = jnp.block([[hcl, hx], [hx.T, jnp.zeros((2, 2), dtype)]])
     return lik, g_theta, g_C, H_tt, H_tC, H_CC
+
+
+def _flat_likelihood(vp, patch, bg_E_G, bg_var_G):
+    """Expected log likelihood of one source over FLAT (P*P,) pixel
+    vectors — the trial-evaluator twin of vi/elbo.elbo_likelihood.
+
+    Same masked Poisson lower bound (elbo_objective.jl:274-392), but the
+    tile fields are flattened before any arithmetic so the minor dim packs
+    the TPU's 128 lanes densely ((B, P, P) tiles waste 4x at P=32, 8x at
+    P=16), and the densities come from the same mixture engine as the
+    analytic Hessian blocks — f, g, and H see bit-identical fields. The 2D
+    tile version in vi/elbo.py stays the public/reference form.
+    """
+    theta6 = vp[0:6]
+    C20 = brightness_coeffs(vp)
+    cl = C20[:10].reshape(5, 2)
+    cll = C20[10:].reshape(5, 2)
+    P = tuple(patch.pixels.shape[-2:])
+    bg_E = bg_E_G if bg_E_G is not None else jnp.zeros_like(patch.sky)
+    bg_V = bg_var_G if bg_var_G is not None else jnp.zeros_like(patch.sky)
+
+    def one_band(clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b, px, mk, sk,
+                 io, bE, bV):
+        _, _, msk, x, iota, a0, b0, _, _, fs0, fs1 = _band_flat_fields(
+            theta6, psf_b, jac_b, wc_b, pc_b, off_b, px, mk, sk, io,
+            bE, bV, P)
+        lik, *_ = _band_poisson_bound(clb, cllb, msk, x, iota, a0, b0,
+                                      fs0, fs1)
+        return lik
+
+    lik_b = jax.vmap(one_band)(
+        cl, cll, patch.psf, patch.wcs_jacobian, patch.world_center,
+        patch.pixel_center, patch.offset, patch.pixels, patch.mask,
+        patch.sky, patch.iota, bg_E, bg_V)
+    return jnp.sum(lik_b)
 
 
 # C20 column indices per band: (cl0, cl1, cll0, cll1) -> flat C layout.
@@ -256,10 +316,7 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
 
     def lik_of(free):
         vp = bijectors.to_bound(free, bounds)
-        fs0m, fs1m = source_fs_grids(vp, patch)
-        E_G_s, var_G_s = moment_grids_from_fs(
-            brightness_coeffs(vp), fs0m, fs1m)
-        return pixel_log_likelihood(E_G_s, var_G_s, patch, bg_E_G, bg_var_G)
+        return _flat_likelihood(vp, patch, bg_E_G, bg_var_G)
 
     def kl_of(free):
         kl = subtract_kl(bijectors.to_bound(free, bounds))
