@@ -629,8 +629,136 @@ def _fused_joint_program(vps, elbos, conv, iters, buckets, c_real,
         (vps, elbos, conv, iters, f32, f32, f32, f32, f32))
 
 
+@partial(jax.jit, static_argnames=("config", "mesh", "fresh", "resolve"))
+def _fused_wide_pass(vps, elbos, conv, iters, wide, config: NewtonConfig,
+                     mesh=None, fresh=True, resolve=True):
+    """One FULL-BUDGET pass over ALL constrained sources at once — a fresh
+    generic-init basin PROBE (fresh=True) or a warm refit (fresh=False) —
+    as ONE wide launch per tile bucket against a background FROZEN at
+    entry, keep-better acceptance per lane.
+
+    Why wide instead of per-class Gauss-Seidel steps: a full-budget
+    class-serial fresh-restart pass is latency-bound on serial depth
+    (C x buckets x ~50-iteration sub-fits at W 8-64) vs 2-3 s for the
+    SAME number of full-budget fits in one 512-lane launch. Lane width is
+    nearly free on the TPU; serial depth is everything.
+
+    resolve: True accepts, per conflicting neighborhood, only the
+    best-gain lane (ties to the lower id) — the accepted set is an
+    independent set of the conflict graph, so each accepted source's
+    neighborhood provably did not move during the pass (exact greedy
+    parallel coordinate descent). The DEFAULT schedule uses
+    resolve=False for its single probe pass and class-serial GS sweeps
+    for the polish: measured on the GalSim three_sources_all_overlap
+    scene, resolving the probe starves basin escapes behind neighbors'
+    routine gains (re-broke the radius-16 types), while NOT resolving
+    repeated warm passes lets overlapping sources slosh shared flux
+    (three unresolved radius-40 polish passes left every source 14-18
+    nats stale). See _fused_joint_dispatch for the full schedule.
+
+    `wide` is a tuple of per-bucket dicts: patches (T_t, B, P_t, P_t)
+    leaves plus flat (W_t,)-shaped lane_src/lane_pat/lane_valid/
+    pix_counts, (W_t, NB) nb_idx/nb_mask, and (W_t, 44) fresh_vp0."""
+    from ..utils.flops import _TR_STEP_FLOPS, fit_flop_components_analytic
+
+    f32 = jnp.zeros((), jnp.promote_types(wide[0]["pix_counts"].dtype,
+                                          jnp.float32))
+    rv = tv = ri = ss = fl = f32
+    snapshot = vps  # buckets are disjoint: later scatters never feed bg
+
+    # phase 1: fit every bucket against the frozen snapshot
+    fitted = []
+    gain_tbl = jnp.full(vps.shape[0], -jnp.inf, dtype=elbos.dtype)
+    for bw in wide:
+        src = bw["lane_src"]
+        pc = jax.tree.map(lambda t: t[bw["lane_pat"]], bw["patches"])
+        vp0 = bw["fresh_vp0"] if fresh else snapshot[src]
+        if mesh is None:
+            bg_E, bg_V = _render_neighbor_bg(snapshot[bw["nb_idx"]],
+                                             bw["nb_mask"], pc)
+            res = jax.vmap(lambda v, p, bE, bV: maximize(
+                v, p, bE, bV, config=config))(vp0, pc, bg_E, bg_V)
+            inc = jax.vmap(lambda v, p, bE, bV: elbo(v, p, bE, bV))(
+                snapshot[src], pc, bg_E, bg_V)
+        else:
+            from jax.sharding import PartitionSpec as PS
+
+            from .mesh import SRC_AXIS
+
+            lane = PS(SRC_AXIS)
+
+            def _shard_fit(vps_r, nbi_l, nbm_l, pc_l, vp0_l, vinc_l):
+                bg_E, bg_V = _render_neighbor_bg(vps_r[nbi_l], nbm_l, pc_l)
+                res_l = jax.vmap(
+                    lambda v, p, bE, bV: maximize(v, p, bE, bV,
+                                                  config=config))(
+                    vp0_l, pc_l, bg_E, bg_V)
+                inc_l = jax.vmap(lambda v, p, bE, bV: elbo(v, p, bE, bV))(
+                    vinc_l, pc_l, bg_E, bg_V)
+                return res_l, inc_l
+
+            res, inc = jax.shard_map(
+                _shard_fit, mesh=mesh,
+                in_specs=(PS(), lane, lane,
+                          jax.tree.map(lambda _: lane, pc), lane, lane),
+                out_specs=(FitResult(vp=lane, elbo=lane, iters=lane,
+                                     f_calls=lane, converged=lane,
+                                     delta=lane, free=lane), lane),
+                check_vma=False)(snapshot, bw["nb_idx"], bw["nb_mask"],
+                                 pc, vp0, snapshot[src])
+        improving = _beats(res.elbo, inc) & (bw["lane_valid"] > 0)
+        gain = jnp.where(improving, res.elbo - inc, -jnp.inf)
+        # pad lanes duplicate their bucket's first source with identical
+        # values, so duplicate-index scatters write identical gains
+        gain_tbl = gain_tbl.at[src].set(gain)
+        fitted.append((res, inc))
+
+    # phase 2: accept per neighborhood only the best-gain lane (ties to
+    # the lower source id); everyone else keeps their snapshot state but
+    # their stored ELBO refreshes to the incumbent re-eval under this
+    # pass's background (finish_group keep_better semantics)
+    for bw, (res, inc) in zip(wide, fitted):
+        src = bw["lane_src"]
+        gi = gain_tbl[src]                                  # (W,)
+        gn = gain_tbl[bw["nb_idx"]]                         # (W, NB)
+        nbm = bw["nb_mask"] > 0
+        ii = src.astype(bw["nb_idx"].dtype)[:, None]
+        blocked = jnp.any(nbm & ((gn > gi[:, None])
+                                 | ((gn == gi[:, None])
+                                    & (bw["nb_idx"] < ii))), axis=1)
+        # resolve=False (the PROBE): accept every improving lane — basin
+        # escapes are rare and blocking one behind a neighbor's routine
+        # gain defers it to warm polish passes that cannot jump basins
+        # (measured: conflict-resolving the probe re-broke the radius-16
+        # three_sources scene that plain-Jacobi probing types correctly).
+        accept = (gi > -jnp.inf) & (jnp.logical_not(blocked) | (not resolve))
+        pick = lambda new, old: jnp.where(
+            accept[:, None] if new.ndim == 2 else accept, new, old)
+        vps = vps.at[src].set(pick(res.vp, snapshot[src]))
+        elbos = elbos.at[src].set(pick(res.elbo, inc))
+        conv = conv.at[src].set(pick(res.converged, conv[src]))
+        real = bw["lane_valid"] > 0
+        cnt = bw["pix_counts"]
+        P_t = int(bw["patches"].mask.shape[-1])
+        B_t = int(bw["patches"].mask.shape[-3])
+        F_fg, F_H, F_eigh = fit_flop_components_analytic(P_t, B_t)
+        lane_total = float(np.prod(bw["patches"].mask.shape[1:]))
+        iters = iters.at[src].add(jnp.where(real, res.iters, 0))
+        fc = res.f_calls.astype(cnt.dtype)
+        rv = rv + jnp.sum(jnp.where(real, cnt * fc, 0.0))
+        tv = tv + lane_total * jnp.sum(fc)
+        ri = ri + jnp.sum(jnp.where(real, res.iters, 0)).astype(rv.dtype)
+        ss = ss + jnp.max(res.iters).astype(rv.dtype)
+        refreshes = jnp.ceil(res.iters / max(config.hess_every, 1))
+        lane_fl = (fc * F_fg + refreshes.astype(fc.dtype) * (F_H + F_eigh)
+                   + res.iters.astype(fc.dtype) * _TR_STEP_FLOPS)
+        fl = fl + jnp.sum(jnp.where(real, lane_fl, 0.0))
+    return (vps, elbos, conv, iters, rv, tv, ri, ss, fl)
+
+
 def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
-                          n_restart, mesh=None, budget_bytes=4 << 30):
+                          n_restart, mesh=None, budget_bytes=4 << 30,
+                          restart_config=None):
     """Host staging + ASYNC dispatch of _fused_joint_program over ONE OR
     MORE fields.
 
@@ -710,7 +838,7 @@ def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
         elbos[sl] = st.elbos
         convs[sl] = st.converged
 
-    buckets = []
+    buckets, wide = [], []
     for t in tiles:
         uniq = uniq_t[t]
         pat_row = {m: i for i, m in enumerate(uniq)}
@@ -766,19 +894,97 @@ def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
             "has": np.asarray(has, dtype=bool),
         })
 
+        # wide probe/polish lane tables: ALL of this bucket's sources in
+        # one flat lane row, padded with the first source exactly like
+        # dispatch_group (duplicate lanes scatter bit-identical values;
+        # same pad rule incl. the >=32-lane floor so the host-path mirror
+        # compiles the same launch widths — tests/test_infer.py exactness)
+        floor_w = min(32, _next_pow2(max(n_targets, 1)))
+        W_w = max(_next_pow2(len(uniq)), floor_w)
+        if mesh is not None:
+            from .mesh import SRC_AXIS
+            W_w = max(W_w, _next_pow2(mesh.shape[SRC_AXIS]))
+        row_w = uniq + [uniq[0]] * (W_w - len(uniq))
+        src_w = np.asarray(row_w, dtype=np.int32)
+        valid_w = np.zeros(W_w, dtype=np.float32)
+        valid_w[:len(uniq)] = 1.0
+        wide.append({
+            "patches": stacked,
+            "lane_src": src_w,
+            "lane_pat": np.asarray([pat_row[m] for m in row_w],
+                                   dtype=np.int32),
+            "lane_valid": valid_w,
+            "nb_idx": nb_idx[src_w],
+            "nb_mask": nb_mask[src_w],
+            "fresh_vp0": fresh_by_src[src_w],
+            "pix_counts": np.asarray([counts_by_src[m] for m in row_w],
+                                     dtype=np.float32),
+        })
+
+    split = (n_restart > 0 and restart_config is not None
+             and restart_config != newton_config)
     label = (f"fused F={len(states)} C={len(classes)}/{C} "
              + " ".join(f"P{t}:W={W_t[t]}" for t in tiles)
-             + f" steps={len(classes) * (n_sweeps + n_restart)}")
+             + f" steps={len(classes) * (n_sweeps + n_restart)}"
+             + (" +probe(wide)+2polish" if split else ""))
     t0 = telemetry.now()
-    out = _fused_joint_program(
-        jnp.asarray(vps), jnp.asarray(elbos), jnp.asarray(convs),
-        jnp.zeros(S_pad, jnp.int32), tuple(buckets),
-        jnp.asarray(len(classes), jnp.int32), n_sweeps=n_sweeps,
-        n_restart=n_restart, config=newton_config, mesh=mesh)
+    bkt = tuple(buckets)
+    c_r = jnp.asarray(len(classes), jnp.int32)
+    state0 = (jnp.asarray(vps), jnp.asarray(elbos), jnp.asarray(convs),
+              jnp.zeros(S_pad, jnp.int32))
+    n_wide = 0
+    if split:
+        # Split schedule, chained async programs (each consumes the
+        # previous one's device outputs — no host round trips):
+        #   1. warm Gauss-Seidel sweeps over the conflict-free classes at
+        #      the capped per-step budget (newton_config = the caller's
+        #      step config: newton/16 secular, 15-iter cap);
+        #   2. ONE WIDE fresh-probe pass at the FULL budget
+        #      (restart_config, bisect/48) — the basin escape for warm
+        #      lock-in: every constrained source refits from generic init
+        #      in one launch per bucket against the frozen end-of-sweep
+        #      background, conflict-resolved keep-better acceptance
+        #      (_fused_wide_pass);
+        #   3. TWO full-budget Gauss-Seidel POLISH SWEEPS (the same
+        #      class-serial program as 1, at restart_config): the last
+        #      time a source was fit its neighbors kept moving afterwards,
+        #      so end-of-schedule states are optimal only under STALE
+        #      backgrounds (measured 14-26 nats short with star/galaxy
+        #      flips on three_sources_all_overlap). The polish must be
+        #      conflict-SCHEDULED, not wide: a wide/Jacobi polish SLOSHES
+        #      (three radius-40 passes left every source 14-18 nats stale
+        #      — overlapping sources re-fit the same shared flux
+        #      simultaneously), and conflict-RESOLVED wide acceptance
+        #      (best-gain-per-neighborhood independent sets) starves the
+        #      recovering lanes behind their neighbors' gains — both
+        #      variants were measured to re-break the scene that two GS
+        #      rounds type correctly (rounds 3-4 refine <2 nats).
+        # The probe/polish must run the bisect/48 trajectories: the
+        # newton/16 secular polish stays in the stale galaxy basin
+        # (-28916 nats, p_star 0.005) while bisect/48 escapes to the star
+        # basin (-28907, p_star 0.995) — the round-2 artifact predates the
+        # per-step newton/16 swap, which is why it typed the scene
+        # correctly.
+        cur = _fused_joint_program(
+            *state0, bkt, c_r, n_sweeps=n_sweeps, n_restart=0,
+            config=newton_config, mesh=mesh)
+        probe = _fused_wide_pass(*cur[:4], tuple(wide),
+                                 config=restart_config, mesh=mesh,
+                                 fresh=True, resolve=False)
+        pol = _fused_joint_program(
+            *probe[:4], bkt, c_r, n_sweeps=2, n_restart=0,
+            config=restart_config, mesh=mesh)
+        out = pol[:4] + tuple(a + b + c for a, b, c in
+                              zip(cur[4:], probe[4:], pol[4:]))
+        n_wide = 3
+    else:
+        out = _fused_joint_program(
+            *state0, bkt, c_r, n_sweeps=n_sweeps,
+            n_restart=n_restart, config=newton_config, mesh=mesh)
     return {"out": out, "states": states, "offsets": offsets,
             "touched": sorted({m for cls in classes for m in cls}),
             "n_fits": sum(len(cls) for cls in classes)
-            * (n_sweeps + n_restart),
+            * (n_sweeps + (0 if n_wide else n_restart) + n_wide),
             "t0": t0, "label": label}
 
 
@@ -823,8 +1029,11 @@ def _fused_joint_finish(handle):
 
 
 def _capped_step_config(newton_config: NewtonConfig, config: Config):
-    """Per-class-step Hessian-refresh budget for the JOINT schedules
-    (Config.joint_step_refreshes; CELESTE_STEP_CAP overrides for A/B).
+    """Per-class-step Hessian-refresh budget for the JOINT schedules'
+    WARM SWEEPS (Config.joint_step_refreshes; CELESTE_STEP_CAP overrides
+    for A/B). The restart probe and polish passes do NOT use this config —
+    they run the caller's full newton_config (bisect/48, max_iters=50):
+    see _fused_joint_dispatch's split schedule.
 
     A batched class-step runs every lane until the slowest lane converges;
     one never-converging straggler otherwise burns the full single-fit cap
@@ -1048,6 +1257,74 @@ def _try_color_capped(targets, neighbor_map, k, caps, tile_of, rng):
     return None
 
 
+def _wide_pass_host(st, union, newton_config, fresh, resolve=None):
+    """Host-driven mirror of _fused_wide_pass: one wide keep-better launch
+    per tile bucket over `union` against the frozen current vps, then
+    conflict-resolved acceptance (best gain per neighborhood, ties to the
+    lower id; resolve=False, the probe, accepts every improving lane)
+    applied across ALL buckets at once. Bit-exact with the fused pass:
+    same lane order (sorted union), same pad rule (dispatch_group), same
+    gains, same blocking graph (the capped nb tables)."""
+    if resolve is None:
+        resolve = not fresh
+    snap = st.vps.copy()
+    pend = [st.dispatch_group(
+        [s for s in union if st.tile[s] == P], newton_config,
+        use_bg=True, bg_vps=snap, fresh_init=fresh, keep_better=True)
+        for P in TILE_BUCKETS]
+    recs, gain = [], {}
+    for p in pend:
+        if p is None:
+            continue
+        idx, n = p["idx"], p["n"]
+        try:
+            vp = np.asarray(p["res"].vp)[:n]
+            el = np.asarray(p["res"].elbo)[:n]
+            cv = np.asarray(p["res"].converged)[:n]
+            it = np.asarray(p["res"].iters)[:n]
+            fcalls = np.asarray(p["res"].f_calls)
+        except Exception as exc:
+            if not is_production_run():
+                raise
+            Log.exception(exc)
+            telemetry.counters.failures += len(idx)
+            continue
+        telemetry.record_launch_wall(p["t0"], p["label"])
+        inc = np.asarray(p["inc"])[:n]
+        improving = _beats(el, inc)
+        for k, s in enumerate(idx):
+            gain[s] = float(el[k] - inc[k]) if improving[k] else -np.inf
+        recs.append((p, idx, vp, el, cv, it, fcalls, inc))
+    for p, idx, vp, el, cv, it, fcalls, inc in recs:
+        take = np.zeros(len(idx), dtype=bool)
+        for k, s in enumerate(idx):
+            gi = gain[s]
+            if gi == -np.inf:
+                continue
+            blocked = False
+            if resolve:
+                for j, nb in enumerate(st.nb_idx[s]):
+                    if st.nb_mask[s, j] <= 0:
+                        continue
+                    gj = gain.get(int(nb), -np.inf)
+                    if gj > gi or (gj == gi and int(nb) < s):
+                        blocked = True
+                        break
+            take[k] = not blocked
+        idxa = np.asarray(idx)
+        st.elbos[idxa[~take]] = inc[~take]
+        st.vps[idxa[take]] = vp[take]
+        st.elbos[idxa[take]] = el[take]
+        st.converged[idxa[take]] = cv[take]
+        st.iters[idxa] += it
+        telemetry.record_fit_launch(
+            p["n_lanes"], p["pad"] - p["n_lanes"],
+            pixels_per_lane_real=p["pixel_counts"][:p["n_lanes"]],
+            pixels_per_lane_total=p["pixels_per_lane_total"],
+            f_calls=fcalls, tile=p["tile"], bands=p["bands"],
+            hess_every=p["hess_every"])
+
+
 def one_node_joint_infer(catalog, images, target_sources=None,
                          config=Config(), batch_size=None,
                          newton_config=NewtonConfig(), max_neighbors=8,
@@ -1067,16 +1344,23 @@ def one_node_joint_infer(catalog, images, target_sources=None,
 
     restart_final: after the warm iterations, refit every target once more
     from a FRESH generic init against the converged neighbor backgrounds
-    and keep whichever fit has the better ELBO. Warm starts lock a source
-    into the basin it chose while its neighbors were still unfit (a true
-    star overlapping another star absorbs its light in iteration 1, flips
-    to the galaxy basin, and no later warm-started Newton pass escapes —
-    measured +492 nats and the correct type from the restart on the
-    overlapping_stars GalSim scene). The reference's joint driver has the
-    same lock-in and no restart; this is a strict improvement."""
+    and keep whichever fit has the better ELBO (the basin PROBE: warm
+    starts lock a source into the basin it chose while its neighbors were
+    still unfit — a true star overlapping another star absorbs its light
+    in iteration 1, flips to the galaxy basin, and no later warm-started
+    Newton pass escapes; measured +492 nats and the correct type from the
+    probe on the overlapping_stars GalSim scene), then POLISH every target
+    warm-started at the same full budget: each class's last fit predates
+    its neighbors' later moves, so the stored states are optimal only
+    under stale backgrounds (measured 18-25 nats short with a star/galaxy
+    flip on three_sources_all_overlap). Both passes run the caller's full
+    newton_config (bisect/48), not the capped sweep config — see
+    _fused_joint_dispatch. The reference's joint driver has the same
+    lock-in and neither pass; this is a strict improvement."""
     import os
 
     step_config = _capped_step_config(newton_config, config)
+    restart_cfg = newton_config  # full budget + bisect/48 for probe/polish
     st = state or InferenceState(catalog, images, config, target_sources,
                                  max_neighbors, active_boxes=active_boxes)
     targets = st.targets
@@ -1164,7 +1448,8 @@ def one_node_joint_infer(catalog, images, target_sources=None,
                 handle = _fused_joint_dispatch(
                     [st], fused_cls, step_config,
                     n_sweeps=config.num_joint_vi_iters,
-                    n_restart=1 if restart_final else 0, mesh=mesh)
+                    n_restart=1 if restart_final else 0, mesh=mesh,
+                    restart_config=restart_cfg)
             fit_isolated()
             isolated_done = True
             if not constrained:
@@ -1207,9 +1492,22 @@ def one_node_joint_infer(catalog, images, target_sources=None,
             if checkpoint_path:
                 st.save(checkpoint_path, cursor=step)
     if restart_final:
-        for groups in sweeps:
-            for cls in groups:
-                fit_class(cls, fresh_init=True, keep_better=True)
+        # Full-budget (bisect/48) WIDE fresh-probe pass, then TWO
+        # full-budget Gauss-Seidel polish sweeps over the conflict-free
+        # classes — the host-path mirror of _fused_joint_dispatch's split
+        # schedule (see its docstring and _fused_wide_pass for the
+        # measured basin + latency evidence).
+        union = sorted({s for groups in sweeps for cls in groups
+                        for s in cls})
+        _wide_pass_host(st, union, restart_cfg, fresh=True, resolve=False)
+        for _ in range(2):
+            for groups in sweeps:
+                for cls in groups:
+                    pend = [st.dispatch_group(
+                        [s for s in cls if st.tile[s] == P], restart_cfg,
+                        use_bg=True) for P in TILE_BUCKETS]
+                    for p in pend:
+                        st.finish_group(p)
     telemetry.counters.report("joint infer")
     return _collect_results(st)
 
@@ -1236,9 +1534,11 @@ def joint_infer_fields(fields, config=Config(),
     states, classes, isolated = _merged_states_classes(
         fields, config, max_neighbors, seed)
     step_config = _capped_step_config(newton_config, config)
+    restart_cfg = newton_config  # full budget + bisect/48 for probe/polish
     telemetry.counters.reset()
     if classes:
         handle = _fused_joint_dispatch(states, classes, step_config,
+                                       restart_config=restart_cfg,
                                        n_sweeps=config.num_joint_vi_iters,
                                        n_restart=1 if restart_final else 0,
                                        mesh=mesh)
@@ -1455,6 +1755,7 @@ def joint_infer_fields_pipelined(groups, config=Config(),
     before iterating for a per-farm report."""
     pending = None
     step_config = _capped_step_config(newton_config, config)
+    restart_cfg = newton_config  # full budget + bisect/48 for probe/polish
 
     def finish(p):
         handle, states, isolated = p
@@ -1469,6 +1770,7 @@ def joint_infer_fields_pipelined(groups, config=Config(),
         states, classes, isolated = _merged_states_classes(
             fields, config, max_neighbors, seed)
         handle = (_fused_joint_dispatch(states, classes, step_config,
+                                        restart_config=restart_cfg,
                                         n_sweeps=n_sweeps,
                                         n_restart=n_restart, mesh=mesh,
                                         budget_bytes=2 << 30)

@@ -315,8 +315,17 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
         free0 = bijectors.to_free(vp_c, bounds)
 
     def lik_of(free):
+        # 2D (B, P, P) tile evaluator (vi/elbo.py), NOT _flat_likelihood:
+        # TPU A/B on the 1024-lane headline bench measured the flat (P*P,)
+        # trial path 11% SLOWER (493.6 vs 552.1 fits/s, identical mean
+        # iters) — XLA:TPU tiles the 2D grids' moment contractions better
+        # than the pre-flattened form. _flat_likelihood stays for the
+        # layout A/B (benchmark/bench_elbo.py fg_flat_evals_per_sec).
         vp = bijectors.to_bound(free, bounds)
-        return _flat_likelihood(vp, patch, bg_E_G, bg_var_G)
+        fs0m, fs1m = source_fs_grids(vp, patch)
+        E_G_s, var_G_s = moment_grids_from_fs(
+            brightness_coeffs(vp), fs0m, fs1m)
+        return pixel_log_likelihood(E_G_s, var_G_s, patch, bg_E_G, bg_var_G)
 
     def kl_of(free):
         kl = subtract_kl(bijectors.to_bound(free, bounds))
