@@ -706,10 +706,17 @@ def _fused_wide_pass(vps, elbos, conv, iters, wide, config: NewtonConfig,
                                      delta=lane, free=lane), lane),
                 check_vma=False)(snapshot, bw["nb_idx"], bw["nb_mask"],
                                  pc, vp0, snapshot[src])
-        improving = _beats(res.elbo, inc) & (bw["lane_valid"] > 0)
+        improving = _beats(res.elbo, inc)
         gain = jnp.where(improving, res.elbo - inc, -jnp.inf)
         # pad lanes duplicate their bucket's first source with identical
-        # values, so duplicate-index scatters write identical gains
+        # inputs, so their gains are bit-identical to the real lane's and
+        # the duplicate-index scatter is deterministic. `improving` must
+        # NOT be masked by lane_valid: that writes -inf from pad lanes vs
+        # the true gain from the real lane, and XLA's duplicate-update
+        # winner is implementation-defined — when -inf wins, the first
+        # source's improving probe is silently rejected (and the winner
+        # changes with pad width, breaking mesh/single-device exactness).
+        # lane_valid masking belongs only in the telemetry sums below.
         gain_tbl = gain_tbl.at[src].set(gain)
         fitted.append((res, inc))
 
@@ -758,7 +765,8 @@ def _fused_wide_pass(vps, elbos, conv, iters, wide, config: NewtonConfig,
 
 def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
                           n_restart, mesh=None, budget_bytes=4 << 30,
-                          restart_config=None):
+                          restart_config=None, polish_config=None,
+                          n_polish=2):
     """Host staging + ASYNC dispatch of _fused_joint_program over ONE OR
     MORE fields.
 
@@ -921,12 +929,18 @@ def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
                                      dtype=np.float32),
         })
 
-    split = (n_restart > 0 and restart_config is not None
-             and restart_config != newton_config)
+    # Split whenever a restart is requested and a probe/polish config is
+    # given — matching one_node_joint_infer's host path, which runs the
+    # probe+2-polish schedule unconditionally under restart_final. (The
+    # split must NOT additionally require restart_config != newton_config:
+    # CELESTE_STEP_CAP/_SECULAR/_BISECT overrides can make the capped step
+    # config equal the caller's config, and the fused/host bit-exactness
+    # pair would then silently run different restart schedules.)
+    split = n_restart > 0 and restart_config is not None
     label = (f"fused F={len(states)} C={len(classes)}/{C} "
              + " ".join(f"P{t}:W={W_t[t]}" for t in tiles)
              + f" steps={len(classes) * (n_sweeps + n_restart)}"
-             + (" +probe(wide)+2polish" if split else ""))
+             + (f" +probe(wide)+{max(n_polish, 0)}polish" if split else ""))
     t0 = telemetry.now()
     bkt = tuple(buckets)
     c_r = jnp.asarray(len(classes), jnp.int32)
@@ -971,12 +985,14 @@ def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
         probe = _fused_wide_pass(*cur[:4], tuple(wide),
                                  config=restart_config, mesh=mesh,
                                  fresh=True, resolve=False)
-        pol = _fused_joint_program(
-            *probe[:4], bkt, c_r, n_sweeps=2, n_restart=0,
-            config=restart_config, mesh=mesh)
-        out = pol[:4] + tuple(a + b + c for a, b, c in
-                              zip(cur[4:], probe[4:], pol[4:]))
-        n_wide = 3
+        phases = [cur, probe]
+        if n_polish > 0:
+            phases.append(_fused_joint_program(
+                *probe[:4], bkt, c_r, n_sweeps=n_polish, n_restart=0,
+                config=polish_config or restart_config, mesh=mesh))
+        out = phases[-1][:4] + tuple(
+            sum(t) for t in zip(*(p[4:] for p in phases)))
+        n_wide = 1 + max(n_polish, 0)
     else:
         out = _fused_joint_program(
             *state0, bkt, c_r, n_sweeps=n_sweeps,
@@ -1071,6 +1087,38 @@ def _capped_step_config(newton_config: NewtonConfig, config: Config):
         bisect_iters = 16
     return newton_config._replace(secular=secular,
                                   bisect_iters=bisect_iters)
+
+
+def _polish_config(restart_cfg: NewtonConfig, config: Config):
+    """(polish NewtonConfig, polish sweep count) for the joint split
+    schedule. The polish keeps the probe's TR solver (bisect/48 — the
+    basin-fidelity choice) but caps its per-class-step Hessian-refresh
+    budget at Config.polish_refreshes: polish lanes are warm starts
+    already optimized under near-final backgrounds, so the cap only
+    bounds what a never-converging straggler can burn per step (the
+    full-budget polish was measured 26-30x the capped schedule's wall
+    with NO accuracy gain, benchmark/field_results.md round 3-4).
+    CELESTE_POLISH_CAP / CELESTE_POLISH_SWEEPS override for A/Bs."""
+    import os
+
+    try:
+        cap = int(os.environ.get("CELESTE_POLISH_CAP", "-1"))
+    except ValueError:
+        Log.info("CELESTE_POLISH_CAP is not an integer; ignoring")
+        cap = -1
+    if cap < 0:
+        cap = config.polish_refreshes
+    cfg = restart_cfg
+    if cap and cap < cfg.max_iters:
+        cfg = cfg._replace(max_iters=cap)
+    try:
+        n = int(os.environ.get("CELESTE_POLISH_SWEEPS", "-1"))
+    except ValueError:
+        Log.info("CELESTE_POLISH_SWEEPS is not an integer; ignoring")
+        n = -1
+    if n < 0:
+        n = config.polish_sweeps
+    return cfg, n
 
 
 def _waves(components):
@@ -1360,7 +1408,8 @@ def one_node_joint_infer(catalog, images, target_sources=None,
     import os
 
     step_config = _capped_step_config(newton_config, config)
-    restart_cfg = newton_config  # full budget + bisect/48 for probe/polish
+    restart_cfg = newton_config  # full budget + bisect/48 for the probe
+    polish_cfg, n_polish = _polish_config(restart_cfg, config)
     st = state or InferenceState(catalog, images, config, target_sources,
                                  max_neighbors, active_boxes=active_boxes)
     targets = st.targets
@@ -1449,7 +1498,8 @@ def one_node_joint_infer(catalog, images, target_sources=None,
                     [st], fused_cls, step_config,
                     n_sweeps=config.num_joint_vi_iters,
                     n_restart=1 if restart_final else 0, mesh=mesh,
-                    restart_config=restart_cfg)
+                    restart_config=restart_cfg,
+                    polish_config=polish_cfg, n_polish=n_polish)
             fit_isolated()
             isolated_done = True
             if not constrained:
@@ -1492,19 +1542,20 @@ def one_node_joint_infer(catalog, images, target_sources=None,
             if checkpoint_path:
                 st.save(checkpoint_path, cursor=step)
     if restart_final:
-        # Full-budget (bisect/48) WIDE fresh-probe pass, then TWO
-        # full-budget Gauss-Seidel polish sweeps over the conflict-free
-        # classes — the host-path mirror of _fused_joint_dispatch's split
-        # schedule (see its docstring and _fused_wide_pass for the
-        # measured basin + latency evidence).
+        # Full-budget (bisect/48) WIDE fresh-probe pass, then
+        # Config.polish_sweeps capped Gauss-Seidel polish sweeps over the
+        # conflict-free classes — the host-path mirror of
+        # _fused_joint_dispatch's split schedule (see its docstring,
+        # _fused_wide_pass, and _polish_config for the measured basin +
+        # latency evidence).
         union = sorted({s for groups in sweeps for cls in groups
                         for s in cls})
         _wide_pass_host(st, union, restart_cfg, fresh=True, resolve=False)
-        for _ in range(2):
+        for _ in range(n_polish):
             for groups in sweeps:
                 for cls in groups:
                     pend = [st.dispatch_group(
-                        [s for s in cls if st.tile[s] == P], restart_cfg,
+                        [s for s in cls if st.tile[s] == P], polish_cfg,
                         use_bg=True) for P in TILE_BUCKETS]
                     for p in pend:
                         st.finish_group(p)
@@ -1534,11 +1585,14 @@ def joint_infer_fields(fields, config=Config(),
     states, classes, isolated = _merged_states_classes(
         fields, config, max_neighbors, seed)
     step_config = _capped_step_config(newton_config, config)
-    restart_cfg = newton_config  # full budget + bisect/48 for probe/polish
+    restart_cfg = newton_config  # full budget + bisect/48 for the probe
+    polish_cfg, n_polish = _polish_config(restart_cfg, config)
     telemetry.counters.reset()
     if classes:
         handle = _fused_joint_dispatch(states, classes, step_config,
                                        restart_config=restart_cfg,
+                                       polish_config=polish_cfg,
+                                       n_polish=n_polish,
                                        n_sweeps=config.num_joint_vi_iters,
                                        n_restart=1 if restart_final else 0,
                                        mesh=mesh)
@@ -1755,7 +1809,8 @@ def joint_infer_fields_pipelined(groups, config=Config(),
     before iterating for a per-farm report."""
     pending = None
     step_config = _capped_step_config(newton_config, config)
-    restart_cfg = newton_config  # full budget + bisect/48 for probe/polish
+    restart_cfg = newton_config  # full budget + bisect/48 for the probe
+    polish_cfg, n_polish = _polish_config(restart_cfg, config)
 
     def finish(p):
         handle, states, isolated = p
@@ -1771,6 +1826,8 @@ def joint_infer_fields_pipelined(groups, config=Config(),
             fields, config, max_neighbors, seed)
         handle = (_fused_joint_dispatch(states, classes, step_config,
                                         restart_config=restart_cfg,
+                                        polish_config=polish_cfg,
+                                        n_polish=n_polish,
                                         n_sweeps=n_sweeps,
                                         n_restart=n_restart, mesh=mesh,
                                         budget_bytes=2 << 30)

@@ -26,6 +26,16 @@ class Config:
     # with the reference's 50-iteration single-fit cap
     # (ElboMaximize.jl:99).
     joint_step_refreshes: int = 15
+    # Hessian-refresh budget for the POLISH sweeps of the joint split
+    # schedule (the probe keeps the caller's full budget — it must escape
+    # basins from a fresh generic init). 0 = the caller's full budget.
+    # Polish lanes are warm-started at states already optimized under
+    # near-final backgrounds, so they converge in a few refreshes; the cap
+    # only bounds what a never-converging straggler can burn per
+    # class-step (the same rationale as joint_step_refreshes).
+    polish_refreshes: int = 15
+    # number of full-coverage Gauss-Seidel polish sweeps after the probe
+    polish_sweeps: int = 2
 
 
 def host_cache_tag():

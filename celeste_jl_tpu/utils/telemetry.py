@@ -98,7 +98,7 @@ class Counters:
             f"{self.newton_iters} newton iters"
             + (f" ({self.serial_steps} serialized)" if self.serial_steps
                else "")
-            + f", {achieved / 1e9:.1f} model GFLOP/s"
+            + f", {achieved / 1e9:.3g} model GFLOP/s"
             + (f" (MFU {100 * mfu:.3f}%)" if mfu is not None else "")
             + f", {self.failures} failures")
 

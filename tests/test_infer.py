@@ -56,6 +56,19 @@ def test_joint_infer_recovers_overlapping_sources():
         assert np.isfinite(res.elbo)
 
 
+def test_fused_joint_flop_telemetry():
+    """The fused joint schedule must report real model FLOPs (the per-box
+    MFU line was suspected dead in round 3 — it was display rounding of
+    sub-0.05 GFLOP/s values; this pins the counter itself nonzero)."""
+    from celeste_jl_tpu.utils import telemetry
+
+    images, truth = _three_overlapping()
+    one_node_joint_infer(truth, images, config=CFG, newton_config=NEWTON)
+    assert telemetry.counters.model_flops > 0
+    assert telemetry.counters.serial_steps > 0
+    assert telemetry.counters.busy_s() > 0
+
+
 def test_joint_at_least_as_good_as_single_on_overlap():
     images, truth = _three_overlapping()
     state_j = InferenceState(truth, images, CFG)
