@@ -138,9 +138,18 @@ def main():
     print(json.dumps(out))
     md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "field_results.md")
+    # Preserve prior runs: the artifact keeps a history instead of being
+    # silently replaced (round 3 overwrote round 2's explanatory analysis).
+    prior = ""
+    if os.path.exists(md):
+        old = open(md).read()
+        head, marker, tail = old.partition("\n## Previous runs\n")
+        prior = head.partition("# Field-scale end-to-end run\n\n")[2] or head
+        prior = ("\n## Previous runs\n\n" + prior.strip() + "\n"
+                 + (("\n" + tail.strip() + "\n") if tail.strip() else ""))
     with open(md, "w") as f:
         f.write("# Field-scale end-to-end run\n\n```json\n"
-                + json.dumps(out, indent=2) + "\n```\n")
+                + json.dumps(out, indent=2) + "\n```\n" + prior)
 
 
 if __name__ == "__main__":
