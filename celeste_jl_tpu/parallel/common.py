@@ -51,6 +51,21 @@ def _next_pow2(n):
     return 1 << max(0, (n - 1).bit_length())
 
 
+def pad_floor(n_targets):
+    """Pad floor (in lanes) for fit launches, as a function of the box's
+    target count. On TPU lanes are width-parallel: a 32-lane floor keeps
+    the compile-key set tiny and pads cost ~nothing, capped by the target
+    count's pow2 so tiny boxes never launch wider than their population.
+    On CPU — the accuracy/parity platform, where a vmapped while_loop
+    computes EVERY lane at EVERY iteration serially — each pad lane costs
+    a full fit: a GalSim single-source scene spent 110-124 s busy on a
+    2-real/30-pad P=128 launch (utilization 2.4%) before this became
+    platform-aware, so CPU launches pad only to the lane count's pow2."""
+    if jax.default_backend() == "cpu":
+        return 1
+    return min(32, _next_pow2(max(n_targets, 1)))
+
+
 @jax.jit
 def _render_neighbor_bg(nb_vps, nb_mask, patches):
     """Sum of neighbor E[G] and Var[G] images on each target's patch.

@@ -19,7 +19,8 @@ from ..vi.elbo import elbo
 from ..vi.init import generic_init_source
 from ..vi.optimize import FitResult, maximize
 from .common import (_beats, _next_pow2, _render_neighbor_bg,
-                     is_production_run)
+                     is_production_run, pad_floor)
+from .packing import fused_bucket_widths
 
 @partial(jax.jit, static_argnames=("n_sweeps", "n_restart", "config", "mesh"))
 def _fused_joint_program(vps, elbos, conv, iters, buckets, c_real,
@@ -309,16 +310,19 @@ def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
     S_pad = _next_pow2(S_tot)
     B = len(states[0].images)
 
-    # per-bucket widths + staging budget (each bucket stages at ITS tile)
+    # per-bucket widths + staging budget (each bucket stages at ITS tile).
+    # Widths come from the SAME helper as the host-driven per-class
+    # launches (packing.fused_bucket_widths) — the compiled-width
+    # invariant behind fused/host bit-exactness.
     grp = {t: [[m for m in cls if tile_of[m] == t] for cls in classes]
            for t in tiles}
+    widths = fused_bucket_widths(classes, lambda m: tile_of[m])
     uniq_t, W_t, T_t = {}, {}, {}
     est_bytes = 0
     for t in tiles:
         uniq_t[t] = sorted({m for g in grp[t] for m in g})
         n_t = len(uniq_t[t])
-        W = max(32 if n_t >= 32 else _next_pow2(n_t),
-                _next_pow2(max((len(g) for g in grp[t] if g), default=1)))
+        W = widths[t]
         if mesh is not None:
             from .mesh import SRC_AXIS
             W = max(W, _next_pow2(mesh.shape[SRC_AXIS]))
@@ -409,10 +413,10 @@ def _fused_joint_dispatch(states, classes, newton_config, n_sweeps,
         # wide probe/polish lane tables: ALL of this bucket's sources in
         # one flat lane row, padded with the first source exactly like
         # dispatch_group (duplicate lanes scatter bit-identical values;
-        # same pad rule incl. the >=32-lane floor so the host-path mirror
-        # compiles the same launch widths — tests/test_infer.py exactness)
-        floor_w = min(32, _next_pow2(max(n_targets, 1)))
-        W_w = max(_next_pow2(len(uniq)), floor_w)
+        # same pad rule incl. the platform-aware pad_floor so the
+        # host-path mirror compiles the same launch widths —
+        # tests/test_infer.py exactness)
+        W_w = max(_next_pow2(len(uniq)), pad_floor(n_targets))
         if mesh is not None:
             from .mesh import SRC_AXIS
             W_w = max(W_w, _next_pow2(mesh.shape[SRC_AXIS]))

@@ -6,7 +6,7 @@ parallel/run.py.
 
 import numpy as np
 
-from .common import _next_pow2
+from .common import _next_pow2, pad_floor
 
 def _waves(components):
     """Round-robin the sources of each connected component: wave w = the
@@ -145,6 +145,13 @@ def fused_color_classes(targets, neighbor_map, rng=None, tile=None):
         n_t[t] = n_t.get(t, 0) + 1
 
     def width_t(t, k):
+        # NOTE: deliberately NOT the platform-aware pad_floor — this is
+        # the packer's COST MODEL (TPU-measured lane-step costs), and the
+        # class partition it picks is part of the schedule: making it
+        # platform-dependent changes the Gauss-Seidel order between CPU
+        # and TPU runs (observed flipping a near-tied basin in the mesh
+        # consistency test). The actual staged launch widths (pad_floor /
+        # fused_bucket_widths) are platform-aware; the schedule is not.
         floor = min(32, _next_pow2(max(n_t[t], 1)))
         return max(floor, _next_pow2(-(-n_t[t] // k)))
 
@@ -218,3 +225,29 @@ def _dual_chunk_cap(P):
     the bench's 1024-lane program shape while P=128 stagings stay inside
     the device/upload budget."""
     return max(32, (1 << 21) // (2 * P * P))
+
+
+def fused_bucket_widths(classes, tile_of):
+    """Per-tile lane-grid width of one sweep schedule over conflict-free
+    `classes`: W_t = max(pad_floor(bucket population), pow2 of the largest
+    (class, bucket) group). ONE function, used by BOTH the fused staging
+    (parallel/fused.py) and the host-driven per-class launches
+    (one_node_joint_infer fit_class / polish), so the two paths compile
+    identical launch widths — the compiled-width invariant behind the
+    fused/host bit-exactness contract (tests/test_infer.py
+    test_fused_schedule_matches_host_schedule): per-lane vmap computation
+    is content-independent at FIXED width, but different widths lower to
+    different XLA programs whose f64 rounding diverges over ~50 chaotic
+    TR steps."""
+    grp_max, n_t = {}, {}
+    for cls in classes:
+        sizes = {}
+        for s in cls:
+            t = tile_of(s)
+            sizes[t] = sizes.get(t, 0) + 1
+            n_t[t] = n_t.get(t, 0) + 1
+        for t, k in sizes.items():
+            grp_max[t] = max(grp_max.get(t, 0), k)
+    return {t: max(pad_floor(n_t[t]), _next_pow2(grp_max[t]))
+            for t in grp_max}
+

@@ -35,7 +35,8 @@ from .fused import (_fused_joint_dispatch, _fused_joint_finish,  # noqa: F401
                     _fused_joint_program, _fused_wide_pass)
 from .packing import (_dual_chunk_cap, _lane_step_cost,  # noqa: F401
                       _pow2_chunks, _try_color_capped, _waves,
-                      color_classes, fused_color_classes)
+                      color_classes, fused_bucket_widths,
+                      fused_color_classes)
 from .state import (InferenceState, OptimizedSource,  # noqa: F401
                     choose_patch_radius, detection_active_boxes,
                     find_neighbors, patch_radii)
@@ -328,13 +329,16 @@ def one_node_joint_infer(catalog, images, target_sources=None,
                 raise
             Log.exception(exc)
 
-    def fit_class(cls, **kw):
+    def fit_class(cls, widths, cfg=None, **kw):
         # The tile-bucket groups of one class are mutually conflict-free:
         # dispatch them all, then collect — host prep and device->host
         # transfers overlap with device compute instead of paying one
-        # blocking round trip per bucket.
+        # blocking round trip per bucket. Widths come from the SAME
+        # helper as the fused staging (packing.fused_bucket_widths) so
+        # both paths compile identical launch shapes.
         pend = [st.dispatch_group([s for s in cls if st.tile[s] == P],
-                                  step_config, use_bg=True, **kw)
+                                  cfg or step_config, use_bg=True,
+                                  width=widths.get(P), **kw)
                 for P in TILE_BUCKETS]
         for p in pend:
             st.finish_group(p)
@@ -343,14 +347,16 @@ def one_node_joint_infer(catalog, images, target_sources=None,
         telemetry.counters.reset()
     if batch_size is None and not isolated_done and cursor == 0:
         fit_isolated()
+    tile_of = lambda s: int(st.tile[s])
+    w_by_groups = [fused_bucket_widths(groups, tile_of) for groups in sweeps]
     step = 0
     for it in range(config.num_joint_vi_iters):
-        for groups in sweeps:
+        for groups, widths in zip(sweeps, w_by_groups):
             step += 1
             if step <= cursor:
                 continue
             for cls in groups:
-                fit_class(cls)
+                fit_class(cls, widths)
             if checkpoint_path:
                 st.save(checkpoint_path, cursor=step)
     if restart_final:
@@ -364,13 +370,9 @@ def one_node_joint_infer(catalog, images, target_sources=None,
                         for s in cls})
         _wide_pass_host(st, union, restart_cfg, fresh=True, resolve=False)
         for _ in range(n_polish):
-            for groups in sweeps:
+            for groups, widths in zip(sweeps, w_by_groups):
                 for cls in groups:
-                    pend = [st.dispatch_group(
-                        [s for s in cls if st.tile[s] == P], polish_cfg,
-                        use_bg=True) for P in TILE_BUCKETS]
-                    for p in pend:
-                        st.finish_group(p)
+                    fit_class(cls, widths, cfg=polish_cfg)
     telemetry.counters.report("joint infer")
     return _collect_results(st)
 
@@ -464,12 +466,27 @@ def _merged_states_classes(fields, config, max_neighbors, seed):
 
 def _fit_isolated_multi(states, isolated, newton_config):
     """Fit merged isolated targets (no target-neighbors) across fields as
-    ONE wide compacted launch per tile bucket — the widest-launch shape
+    wide compacted launches per tile bucket — the widest-launch shape
     (bench.py's machine), at the FULL single-fit budget. Non-target
     neighbors still enter as fixed catalog-init background. Results are
-    applied to each field's InferenceState."""
+    applied to each field's InferenceState.
+
+    Launch widths are platform-aware. On TPU, lanes are width-parallel:
+    pow2 chunks with a >=32-lane pad floor keep the compile-key set tiny
+    and pads cost ~nothing. On CPU (the accuracy/parity platform), every
+    pad lane costs a full serial fit — the 32-lane floor made a GalSim
+    single-source scene (1 member, 2 dual-init lanes, 30 pads at P=128)
+    take 110-124 s of busy for ~7 s of useful work, utilization 2.4%
+    (benchmark/galsim_results.md round 4). CPU therefore launches each
+    member separately (2 dual lanes, zero pads). Per-member launches also
+    make per-field and merged multi-field runs bit-exact by construction
+    on CPU (identical per-source programs), which the >=32 shared floor
+    only achieved while every call's lane count stayed under the floor."""
     if not isolated:
         return
+    import jax
+
+    cpu = jax.default_backend() == "cpu"
     offsets = np.cumsum([0] + [len(st.catalog) for st in states])
 
     def owner(m):
@@ -488,7 +505,9 @@ def _fit_isolated_multi(states, isolated, newton_config):
         # >= 4 schedule passes replaced. finish keeps the better ELBO.
         n = len(members)
         nl = 2 * n
-        pad = max(_next_pow2(nl), 32)  # 32-lane floor: stable compile keys
+        # 32-lane floor on TPU (stable compile keys, pads width-parallel);
+        # zero-pad per-member launches on CPU (see the function docstring)
+        pad = _next_pow2(nl) if cpu else max(_next_pow2(nl), 32)
         members_p = members + members + [members[0]] * (pad - nl)
         by_field = {}
         for f, s in members_p:
@@ -523,7 +542,9 @@ def _fit_isolated_multi(states, isolated, newton_config):
     # multi-field / pipelined farm run.
     pending = []
     for t, group in sorted(by_tile.items()):
-        for members in _pow2_chunks(group, cap=_dual_chunk_cap(t)):
+        chunks = ([[m] for m in group] if cpu else
+                  _pow2_chunks(group, cap=_dual_chunk_cap(t)))
+        for members in chunks:
             try:
                 pending.append(dispatch(t, members))
             except Exception as exc:

@@ -22,7 +22,7 @@ from ..vi.init import catalog_init_source, generic_init_source
 from ..vi.optimize import fit_sources, fit_sources_compacted
 from .common import (MAX_PATCH_RADIUS, _beats, _elbo_values, _next_pow2,
                      _render_neighbor_bg, _tile_for_radius,
-                     is_production_run)
+                     is_production_run, pad_floor)
 
 @dataclass
 class OptimizedSource:
@@ -289,7 +289,7 @@ class InferenceState:
 
     def dispatch_group(self, idx, newton_config: NewtonConfig, use_bg=True,
                        bg_vps=None, fresh_init=False, keep_better=False,
-                       dual_init=False):
+                       dual_init=False, width=None):
         """Dispatch one batched launch over sources `idx` (same tile size),
         padded to a power of two, WITHOUT waiting for the device. Returns a
         pending record for finish_group, or None. Neighbor background is
@@ -311,16 +311,21 @@ class InferenceState:
         lanes see the same static background so the comparison is exact,
         and two lanes cost strictly less than the sweeps + restart passes
         (>= 4 warm-lane fits) these sources would otherwise ride.
+        width: explicit minimum lane width — the joint drivers pass the
+        fused schedule's per-bucket width (packing.fused_bucket_widths)
+        so host-driven class launches compile the same shapes as the
+        fused program (the bit-exactness contract).
         """
         n = len(idx)
         if n == 0:
             return None
-        # pad to a power of two, floored (for fields of 32+ targets) at 32:
-        # launch shapes are compile keys, and the small late color classes
-        # otherwise mint a fresh program per distinct tiny size — padding
-        # them up to one shared shape costs cheap idle lanes and makes a
-        # farm worker's program cache saturate after the first box or two.
-        floor = min(32, _next_pow2(max(len(self.targets), 1)))
+        # pad to a power of two, floored (common.pad_floor): on TPU a
+        # >=32-lane floor keeps launch shapes (= compile keys) from
+        # minting a fresh program per distinct tiny color-class size —
+        # cheap idle lanes, and a farm worker's program cache saturates
+        # after the first box or two; on CPU pads cost full serial fits,
+        # so no floor.
+        floor = width or pad_floor(len(self.targets))
         n_lanes = 2 * n if dual_init else n
         pad = max(_next_pow2(n_lanes), floor)
         idx_p = list(idx) * (2 if dual_init else 1) \
