@@ -25,12 +25,21 @@ import numpy as np
 # and render stages are linear, but per-launch fixed costs amortize further.
 S = int(os.environ.get("BENCH_SOURCES", "1024"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
-TR_SOLVER = os.environ.get("BENCH_TR_SOLVER", "")
+# pjacobi/4: the Pallas systolic-Jacobi TR solver (ops/pallas_eigh.py)
+# replaces the XLA eigh custom call that was 49% of fit device time -
+# measured 877 vs 553 fits/s at identical trajectory quality (mean
+# Newton iters 58.1 vs 58.4; ELBO parity mean-zero at +-5e-4 max with
+# near-tie basin swaps only, tools/quality_pjacobi.py). BENCH_TR_SOLVER=eig
+# restores the XLA-eigh path for A/Bs.
+TR_SOLVER = os.environ.get("BENCH_TR_SOLVER", "pjacobi")
 HESS_EVERY = os.environ.get("BENCH_HESS_EVERY", "")
 MS_ITERS = os.environ.get("BENCH_MS_ITERS", "")
 PRECISION = os.environ.get("BENCH_PRECISION", "")
 SECULAR = os.environ.get("BENCH_SECULAR", "")         # newton | bisect
 BISECT_ITERS = os.environ.get("BENCH_BISECT_ITERS", "")
+JACOBI_SWEEPS = os.environ.get("BENCH_JACOBI_SWEEPS",
+                               "4" if TR_SOLVER == "pjacobi" else "")
+JACOBI_TOL = os.environ.get("BENCH_JACOBI_TOL", "")
 BASELINE_FITS_PER_SEC = 1.0
 
 
@@ -54,7 +63,8 @@ def main():
 
     t0 = time.perf_counter()
     kw = {}
-    if TR_SOLVER or HESS_EVERY or MS_ITERS or SECULAR or BISECT_ITERS:
+    if (TR_SOLVER or HESS_EVERY or MS_ITERS or SECULAR or BISECT_ITERS
+            or JACOBI_SWEEPS or JACOBI_TOL):
         from celeste_jl_tpu.ops.newton import NewtonConfig
         cfg = NewtonConfig()
         if TR_SOLVER:
@@ -67,6 +77,10 @@ def main():
             cfg = cfg._replace(secular=SECULAR)
         if BISECT_ITERS:
             cfg = cfg._replace(bisect_iters=int(BISECT_ITERS))
+        if JACOBI_SWEEPS:
+            cfg = cfg._replace(jacobi_max_sweeps=int(JACOBI_SWEEPS))
+        if JACOBI_TOL:
+            cfg = cfg._replace(jacobi_tol=float(JACOBI_TOL))
         kw["config"] = cfg
     res = fit_sources(vp0s, patches, **kw)  # compile + warm up
     jax.block_until_ready(res.vp)

@@ -75,6 +75,17 @@ class NewtonConfig(NamedTuple):
     #              swamps the small eigenvalues the trust region pivots on,
     #              and mean iterations go 58 -> 243. Kept for
     #              moderate-condition problems;
+    #   "pjacobi"— ops/pallas_eigh.py: systolic Jacobi with the 41 rounds
+    #              of each sweep VMEM-resident in a Pallas kernel (rounds
+    #              are tiny VPU work; the XLA formulations pay per-round
+    #              dispatch/HBM instead), plus per-sweep Newton-Schulz +
+    #              re-formation at HIGHEST to reset f32 rotation noise.
+    #              MEASURED on the v5e headline bench: 877 fits/s at
+    #              jacobi_max_sweeps=4 vs 553 for "eig" (the XLA eigh
+    #              custom call was 49% of fit device time), same
+    #              trajectory quality (58.1 vs 58.4 mean iters; ELBO
+    #              parity mean-zero, near-tie basin swaps only). Falls
+    #              back to XLA eigh for f64/CPU (the parity platform).
     #   "jacobi" — systolic Jacobi diagonalization warm-started from the
     #              PREVIOUS refresh's eigenbasis (ops/jacobi.py). Measured
     #              SLOWER than "eig" on the headline bench (326 vs 540
@@ -110,6 +121,9 @@ class NewtonConfig(NamedTuple):
     cg_iters: int = 41
     ms_iters: int = 12
     jacobi_tol: float = 1e-6
+    # 4 for "pjacobi" (the measured knee: 3 sweeps degrades the basis
+    # enough to add TR iterations and near-tie flips; 5+ buys nothing,
+    # tools/quality_pjacobi.py); the warm-started XLA "jacobi" needs more
     jacobi_max_sweeps: int = 12
 
 
@@ -478,9 +492,36 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
     def cond(st: NewtonState):
         return (~st.converged) & (st.hess_calls < config.max_iters)
 
-    if config.tr_solver == "jacobi":
-        from .jacobi import jacobi_eigh, pad_to_even
+    if config.tr_solver == "pjacobi":
+        from .jacobi import pad_to_even
+        from .pallas_eigh import make_eigh_tr
 
+        eigh_tr = make_eigh_tr(tol=config.jacobi_tol,
+                               max_sweeps=config.jacobi_max_sweeps)
+        Dp = x0.shape[0] + (x0.shape[0] % 2)
+        Q0 = jnp.eye(Dp, dtype=dtype)
+
+        def cycle_p(carry):
+            """Refresh-then-steps cycle with the Pallas systolic-Jacobi
+            eigensolver (ops/pallas_eigh.py), warm-started from the
+            previous refresh's basis. Under fit_sources' vmap the
+            custom_vmap rule routes the whole batch through one kernel."""
+            st, Q = carry
+            f, g, H = fgh(st.x)
+            Hp, _ = pad_to_even(H)
+            w, Q = eigh_tr(Hp, Q)
+            st = st._replace(f=f, g=g, hess_calls=st.hess_calls + 1)
+            return steps(st, (w, Q))[0], Q
+
+        st, _ = jax.lax.while_loop(lambda c: cond(c[0]), cycle_p,
+                                   (state0, Q0))
+        return st
+
+    if config.tr_solver in ("jacobi", "vjacobi"):
+        from .jacobi import jacobi_eigh, pad_to_even, vjacobi_eigh
+
+        eigh_fn = (vjacobi_eigh if config.tr_solver == "vjacobi"
+                   else jacobi_eigh)
         Dp = x0.shape[0] + (x0.shape[0] % 2)
         Q0 = jnp.eye(Dp, dtype=dtype)
 
@@ -491,8 +532,8 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
             st, Q = carry
             f, g, H = fgh(st.x)
             Hp, _ = pad_to_even(H)
-            w, Q, _ = jacobi_eigh(Hp, Q, tol=config.jacobi_tol,
-                                  max_sweeps=config.jacobi_max_sweeps)
+            w, Q, _ = eigh_fn(Hp, Q, tol=config.jacobi_tol,
+                              max_sweeps=config.jacobi_max_sweeps)
             st = st._replace(f=f, g=g, hess_calls=st.hess_calls + 1)
             return steps(st, (w, Q))[0], Q
 
