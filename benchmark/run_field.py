@@ -94,22 +94,31 @@ def main():
         return n_match, type_ok / max(n_match, 1), errs
 
     walls, accs, all_errs, n_det, n_match = [], [], [], 0, 0
+    prof_dir = os.environ.get("FIELD_PROFILE", "")
+    import contextlib
     for rep in range(REPEAT):
         images, truth = make_field(SEED + 1000 * rep)
+        prof = contextlib.nullcontext()
+        if prof_dir and rep == REPEAT - 1:
+            import jax
+            prof = jax.profiler.trace(prof_dir)
         t0 = time.time()
-        bs = os.environ.get("FIELD_BATCH_SIZE")
-        if bs:
-            from celeste_jl_tpu.detection.detect import detect_sources
-            from celeste_jl_tpu.parallel.run import one_node_joint_infer
-            catalog, _ = detect_sources(images, thresh=6.0,
-                                        boxsize=(SIZE, SIZE),
-                                        match_radius_deg=1.0)
-            results = one_node_joint_infer(catalog, images, config=Config(),
-                                           batch_size=int(bs))
-        else:
-            results = infer_box(images, method="joint_vi", config=Config(),
-                                thresh=6.0, boxsize=(SIZE, SIZE),
-                                match_radius_deg=1.0)
+        with prof:
+            bs = os.environ.get("FIELD_BATCH_SIZE")
+            if bs:
+                from celeste_jl_tpu.detection.detect import detect_sources
+                from celeste_jl_tpu.parallel.run import one_node_joint_infer
+                catalog, _ = detect_sources(images, thresh=6.0,
+                                            boxsize=(SIZE, SIZE),
+                                            match_radius_deg=1.0)
+                results = one_node_joint_infer(catalog, images,
+                                               config=Config(),
+                                               batch_size=int(bs))
+            else:
+                results = infer_box(images, method="joint_vi",
+                                    config=Config(), thresh=6.0,
+                                    boxsize=(SIZE, SIZE),
+                                    match_radius_deg=1.0)
         walls.append(time.time() - t0)
         nm, acc, errs = score(results, truth)
         n_det += len(results)

@@ -17,8 +17,8 @@ from ..utils import log as Log
 from ..utils import telemetry
 from ..vi.elbo import elbo
 from ..vi.init import generic_init_source
-from ..vi.optimize import FitResult, maximize
-from .common import (_beats, _next_pow2, _render_neighbor_bg,
+from ..vi.optimize import FitResult, fit_sources, maximize
+from .common import (_beats, _elbo_values, _next_pow2, _render_neighbor_bg,
                      is_production_run, pad_floor)
 from .packing import fused_bucket_widths
 
@@ -66,10 +66,17 @@ def _fused_joint_program(vps, elbos, conv, iters, buckets, c_real,
         vp0 = jnp.where(is_restart, fv0, vps[src])
         if mesh is None:
             bg_E, bg_V = _render_neighbor_bg(vps[nbi], nbm, pc)
-            res = jax.vmap(lambda v, p, bE, bV: maximize(
-                v, p, bE, bV, config=config))(vp0, pc, bg_E, bg_V)
-            inc = jax.vmap(lambda v, p, bE, bV: elbo(v, p, bE, bV))(
-                vps[src], pc, bg_E, bg_V)
+            # the SAME jitted entry points as the host-driven
+            # dispatch_group launches (vi/optimize.fit_sources,
+            # common._elbo_values): fused/host bit-exactness holds by
+            # construction (one pjit program serves both), and the trace
+            # of the full fit is built ONCE per (W, B, P, P) shape per
+            # process instead of being re-inlined into every bucket of
+            # every program of every box — host tracing of the chained
+            # fused programs measured 300+ s per field otherwise
+            # (tools/xplane_summary.py on a warm field run).
+            res = fit_sources(vp0, pc, bg_E, bg_V, config=config)
+            inc = _elbo_values(vps[src], pc, bg_E, bg_V)
         else:
             from jax.sharding import PartitionSpec as PS
 
@@ -181,10 +188,9 @@ def _fused_wide_pass(vps, elbos, conv, iters, wide, config: NewtonConfig,
         if mesh is None:
             bg_E, bg_V = _render_neighbor_bg(snapshot[bw["nb_idx"]],
                                              bw["nb_mask"], pc)
-            res = jax.vmap(lambda v, p, bE, bV: maximize(
-                v, p, bE, bV, config=config))(vp0, pc, bg_E, bg_V)
-            inc = jax.vmap(lambda v, p, bE, bV: elbo(v, p, bE, bV))(
-                snapshot[src], pc, bg_E, bg_V)
+            # shared jitted entry points — see bucket_step for why
+            res = fit_sources(vp0, pc, bg_E, bg_V, config=config)
+            inc = _elbo_values(snapshot[src], pc, bg_E, bg_V)
         else:
             from jax.sharding import PartitionSpec as PS
 
