@@ -110,6 +110,24 @@ def _capped_step_config(newton_config: NewtonConfig, config: Config):
                                   bisect_iters=bisect_iters)
 
 
+def _probe_config(restart_cfg: NewtonConfig, config: Config):
+    """Probe (wide fresh-init basin-escape pass) NewtonConfig: the
+    caller's solver at Config.probe_refreshes Hessian-refresh budget
+    (0 = full). CELESTE_PROBE_CAP overrides for A/Bs."""
+    import os
+
+    try:
+        cap = int(os.environ.get("CELESTE_PROBE_CAP", "-1"))
+    except ValueError:
+        Log.info("CELESTE_PROBE_CAP is not an integer; ignoring")
+        cap = -1
+    if cap < 0:
+        cap = config.probe_refreshes
+    if cap and cap < restart_cfg.max_iters:
+        return restart_cfg._replace(max_iters=cap)
+    return restart_cfg
+
+
 def _polish_config(restart_cfg: NewtonConfig, config: Config):
     """(polish NewtonConfig, polish sweep count) for the joint split
     schedule. The polish keeps the probe's TR solver (bisect/48 — the
@@ -246,8 +264,8 @@ def one_node_joint_infer(catalog, images, target_sources=None,
 
     newton_config = _platform_newton_config(newton_config)
     step_config = _capped_step_config(newton_config, config)
-    restart_cfg = newton_config  # full budget + bisect/48 for the probe
-    polish_cfg, n_polish = _polish_config(restart_cfg, config)
+    restart_cfg = _probe_config(newton_config, config)  # bisect/48 probe
+    polish_cfg, n_polish = _polish_config(newton_config, config)
     st = state or InferenceState(catalog, images, config, target_sources,
                                  max_neighbors, active_boxes=active_boxes)
     targets = st.targets
@@ -425,8 +443,8 @@ def joint_infer_fields(fields, config=Config(),
     states, classes, isolated = _merged_states_classes(
         fields, config, max_neighbors, seed)
     step_config = _capped_step_config(newton_config, config)
-    restart_cfg = newton_config  # full budget + bisect/48 for the probe
-    polish_cfg, n_polish = _polish_config(restart_cfg, config)
+    restart_cfg = _probe_config(newton_config, config)  # bisect/48 probe
+    polish_cfg, n_polish = _polish_config(newton_config, config)
     telemetry.counters.reset()
     if classes:
         handle = _fused_joint_dispatch(states, classes, step_config,
@@ -641,8 +659,8 @@ def joint_infer_fields_pipelined(groups, config=Config(),
     pending = None
     newton_config = _platform_newton_config(newton_config)
     step_config = _capped_step_config(newton_config, config)
-    restart_cfg = newton_config  # full budget + bisect/48 for the probe
-    polish_cfg, n_polish = _polish_config(restart_cfg, config)
+    restart_cfg = _probe_config(newton_config, config)  # bisect/48 probe
+    polish_cfg, n_polish = _polish_config(newton_config, config)
 
     def finish(p):
         handle, states, isolated = p

@@ -27,15 +27,26 @@ class Config:
     # (ElboMaximize.jl:99).
     joint_step_refreshes: int = 15
     # Hessian-refresh budget for the POLISH sweeps of the joint split
-    # schedule (the probe keeps the caller's full budget — it must escape
-    # basins from a fresh generic init). 0 = the caller's full budget.
+    # schedule. 0 = the caller's full budget.
     # Polish lanes are warm-started at states already optimized under
     # near-final backgrounds, so they converge in a few refreshes; the cap
     # only bounds what a never-converging straggler can burn per
     # class-step (the same rationale as joint_step_refreshes).
     polish_refreshes: int = 15
-    # number of full-coverage Gauss-Seidel polish sweeps after the probe
+    # number of full-coverage Gauss-Seidel polish sweeps after the probe.
+    # 2 is load-bearing: with 1 the probe's basin flip on the hardest
+    # 3-source blend is not re-equilibrated and the GalSim noise-free
+    # gate re-breaks (three_sources_all_overlap is_star 0.006, measured
+    # round 4); with 2 the gate holds at 0 violations.
     polish_sweeps: int = 2
+    # Hessian-refresh budget for the wide fresh-init PROBE pass. The
+    # probe's job is basin ESCAPE — an improving escape only has to BEAT
+    # the incumbent's ELBO under the same background to be accepted, and
+    # the two polish sweeps then finish convergence. 25 halves the
+    # probe's serialized depth vs the full 50 with the GalSim noise-free
+    # gate intact (0 violations, type accuracy 1.000, measured round 4).
+    # 0 = the caller's full budget.
+    probe_refreshes: int = 25
 
 
 def host_cache_tag():
