@@ -40,6 +40,7 @@ BISECT_ITERS = os.environ.get("BENCH_BISECT_ITERS", "")
 JACOBI_SWEEPS = os.environ.get("BENCH_JACOBI_SWEEPS",
                                "4" if TR_SOLVER == "pjacobi" else "")
 JACOBI_TOL = os.environ.get("BENCH_JACOBI_TOL", "")
+GRAD_MODE = os.environ.get("BENCH_GRAD", "")          # ad | analytic
 BASELINE_FITS_PER_SEC = 1.0
 
 
@@ -64,7 +65,7 @@ def main():
     t0 = time.perf_counter()
     kw = {}
     if (TR_SOLVER or HESS_EVERY or MS_ITERS or SECULAR or BISECT_ITERS
-            or JACOBI_SWEEPS or JACOBI_TOL):
+            or JACOBI_SWEEPS or JACOBI_TOL or GRAD_MODE):
         from celeste_jl_tpu.ops.newton import NewtonConfig
         cfg = NewtonConfig()
         if TR_SOLVER:
@@ -81,6 +82,8 @@ def main():
             cfg = cfg._replace(jacobi_max_sweeps=int(JACOBI_SWEEPS))
         if JACOBI_TOL:
             cfg = cfg._replace(jacobi_tol=float(JACOBI_TOL))
+        if GRAD_MODE:
+            cfg = cfg._replace(grad_mode=GRAD_MODE)
         kw["config"] = cfg
     res = fit_sources(vp0s, patches, **kw)  # compile + warm up
     jax.block_until_ready(res.vp)

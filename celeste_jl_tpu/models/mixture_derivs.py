@@ -197,6 +197,50 @@ def mixture_value_jac_hess(x1, x2, means, covs, weights, chain, chain2, wh):
     return fs, J, H
 
 
+def mixture_grad_contract(x1, x2, means, covs, weights, chain, _chain2, w):
+    """Weight-contracted shape-gradient of a mixture render:
+    g_theta = sum_px w(px) d fs/d theta, via the degree-<=2 moment subset
+    of mixture_value_jac_hess (6 weighted pixel reductions per component
+    instead of the Hessian's 15 — the analytic fg evaluator's engine).
+
+    Same math as contracting J from mixture_value_jac_hess with w:
+    J @ w = P . (sum_n w g b), b the degree-2 basis. Returns (6,).
+    """
+    c00, c01, c11 = covs[:, 0, 0], covs[:, 0, 1], covs[:, 1, 1]
+    det = c00 * c11 - c01 * c01
+    inv_det = 1.0 / det
+    L00, L01, L11 = c11 * inv_det, -c01 * inv_det, c00 * inv_det
+    z = weights / (TWO_PI * jnp.sqrt(det))
+    d1 = x1[None, :] - means[:, 0, None]
+    d2 = x2[None, :] - means[:, 1, None]
+    l1 = L00[:, None] * d1 + L01[:, None] * d2
+    l2 = L01[:, None] * d1 + L11[:, None] * d2
+    g = z[:, None] * jnp.exp(-0.5 * (d1 * l1 + d2 * l2))
+
+    wg = w[None, :] * g
+    m00 = jnp.sum(wg, axis=-1)
+    m10 = jnp.sum(wg * l1, axis=-1)
+    m01 = jnp.sum(wg * l2, axis=-1)
+    m20 = jnp.sum(wg * l1 * l1, axis=-1)
+    m11 = jnp.sum(wg * l1 * l2, axis=-1)
+    m02 = jnp.sum(wg * l2 * l2, axis=-1)
+    m = jnp.stack([m00, m10, m01, m20, m11, m02], -1)       # (C, 6b)
+
+    zc = jnp.zeros_like(L00)
+    oc = jnp.ones_like(L00)
+    half = 0.5 * oc
+    R = jnp.stack([
+        jnp.stack([zc, oc, zc, zc, zc, zc], -1),
+        jnp.stack([zc, zc, oc, zc, zc, zc], -1),
+        jnp.stack([-0.5 * L00, zc, zc, half, zc, zc], -1),
+        jnp.stack([-L01, zc, zc, zc, oc, zc], -1),
+        jnp.stack([-0.5 * L11, zc, zc, zc, zc, half], -1),
+        jnp.stack([oc, zc, zc, zc, zc, zc], -1),
+    ], axis=1)                                              # (C, 6eta, 6b)
+    P = jnp.einsum("cat,cab->ctb", chain, R)                # (C, 6th, 6b)
+    return jnp.einsum("ctb,cb->t", P, m)
+
+
 def star_mixture(theta6, psf_b, wcs_jacobian, world_center, pixel_center):
     """Star = PSF mixture at the source position. Returns (means (K,2),
     covs (K,2,2), weights (K,), chain (K,6,6), chain2 (K,6,6,6))."""

@@ -118,6 +118,17 @@ class NewtonConfig(NamedTuple):
     #              540 for "eig". Kept for problems whose Hessian refresh
     #              is cheap relative to eigh.
     tr_solver: str = "eig"
+    # Objective gradient evaluator used by vi/optimize.maximize (threaded
+    # here so the per-platform default flip and the A/B env knobs reach
+    # every driver the same way as tr_solver):
+    #   "ad"       — jax.value_and_grad through the 2D tile render;
+    #   "analytic" — closed-form gradient via the degree-<=2 pixel-moment
+    #                subset of the analytic-Hessian engine
+    #                (vi/optimize._analytic_lik_value_grad): one render
+    #                + 12 weighted moment reductions instead of a full
+    #                reverse pass. f64-exact vs AD
+    #                (tests/test_analytic_grad.py).
+    grad_mode: str = "ad"
     cg_iters: int = 41
     ms_iters: int = 12
     jacobi_tol: float = 1e-6

@@ -54,6 +54,9 @@ def _platform_newton_config(newton_config: NewtonConfig):
 
     import jax
 
+    grad = os.environ.get("CELESTE_GRAD_MODE", "")
+    if grad:
+        newton_config = newton_config._replace(grad_mode=grad)
     override = os.environ.get("CELESTE_TR_SOLVER", "")
     if override:
         return newton_config._replace(tr_solver=override,

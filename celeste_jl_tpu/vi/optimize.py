@@ -178,6 +178,76 @@ def _band_lik_terms(theta6, clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b,
     return lik, g_theta, g_C, H_tt, H_tC, H_CC
 
 
+def _band_lik_grad(theta6, clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b,
+                   pixels_b, mask_b, sky_b, iota_b, bg_E_b, bg_var_b, P):
+    """One band's likelihood VALUE + GRADIENT in (theta6, Cb) space — the
+    degree-<=2 moment subset of _band_lik_terms (no Hessian blocks), for
+    the analytic fg evaluator. Returns (lik, g_theta (6,), g_C (4,))."""
+    (x1, x2, msk, x, iota, a0, b0, sm, gm,
+     fs0, fs1) = _band_flat_fields(
+        theta6, psf_b, jac_b, wc_b, pc_b, off_b, pixels_b, mask_b, sky_b,
+        iota_b, bg_E_b, bg_var_b, P)
+
+    cl0, cl1 = clb[0], clb[1]
+    cll0, cll1 = cllb[0], cllb[1]
+    lik, s1, s2, E, V = _band_poisson_bound(
+        clb, cllb, msk, x, iota, a0, b0, fs0, fs1)
+
+    E2 = E * E
+    phi_E = x / E + x * V / (E2 * E) - iota
+    phi_V = -x / (2.0 * E2)
+    g1 = msk * (phi_E - 2.0 * s1 * phi_V)
+    g2 = msk * phi_V
+    W0 = g1 * cl0 + g2 * (2.0 * cll0 * fs0)
+    W1 = g1 * cl1 + g2 * (2.0 * cll1 * fs1)
+
+    g_theta = (md.mixture_grad_contract(x1, x2, *sm, W0)
+               + md.mixture_grad_contract(x1, x2, *gm, W1))
+    g_C = jnp.stack([jnp.sum(g1 * fs0), jnp.sum(g1 * fs1),
+                     jnp.sum(g2 * fs0 ** 2), jnp.sum(g2 * fs1 ** 2)])
+    return lik, g_theta, g_C
+
+
+def _analytic_lik_value_grad(free, bounds, patch, bg_E_G, bg_var_G):
+    """Likelihood value + exact gradient wrt the 41 free parameters, via
+    analytic per-band (theta6, C20) gradients chained through the
+    pixel-free free -> (theta, C) map with AD — the fg twin of
+    _analytic_lik_hessian. Reverse-mode AD pays ~2-3x the forward render
+    per gradient; this pays one render + 12 degree-<=2 weighted pixel
+    moments (MXU-shaped reductions). Returns (lik, g_free (41,))."""
+    dtype = free.dtype
+    vp = bijectors.to_bound(free, bounds)
+    theta6 = vp[0:6]
+    C20 = brightness_coeffs(vp)
+    cl = C20[:10].reshape(5, 2)
+    cll = C20[10:].reshape(5, 2)
+    P = tuple(patch.pixels.shape[-2:])
+    bg_E = bg_E_G if bg_E_G is not None else jnp.zeros_like(patch.sky)
+    bg_V = bg_var_G if bg_var_G is not None else jnp.zeros_like(patch.sky)
+
+    out = jax.vmap(
+        lambda clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b, px, mk, sk, io,
+        bE, bV: _band_lik_grad(
+            theta6, clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b,
+            px, mk, sk, io, bE, bV, P)
+    )(cl, cll, patch.psf, patch.wcs_jacobian, patch.world_center,
+      patch.pixel_center, patch.offset, patch.pixels, patch.mask,
+      patch.sky, patch.iota, bg_E, bg_V)
+    lik_b, g_t_b, g_C_b = out
+
+    g_ord = jnp.concatenate([jnp.sum(g_t_b, axis=0), g_C_b.reshape(-1)])
+    g26 = jnp.asarray(_PERM26, dtype) @ g_ord
+
+    def h26(fr):
+        v = bijectors.to_bound(fr, bounds)
+        return jnp.concatenate([v[0:6], brightness_coeffs(v)])
+
+    # vjp of the pixel-free map: one reverse pass over a tiny scalar graph
+    # (cheaper than materializing the (26, 41) jacobian).
+    _, pull = jax.vjp(h26, free)
+    return jnp.sum(lik_b), pull(g26)[0]
+
+
 def _flat_likelihood(vp, patch, bg_E_G, bg_var_G):
     """Expected log likelihood of one source over FLAT (P*P,) pixel
     vectors — the trial-evaluator twin of vi/elbo.elbo_likelihood.
@@ -341,8 +411,22 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
             ll = ll + kl_of(free)
         return -ll
 
+    def fg_raw(free):
+        """(f, g) BEFORE any pixel-axis psum — shared by fg and
+        fgh_analytic so trust-region rho comparisons stay bit-consistent
+        between the cheap and refresh evaluators whichever grad_mode is
+        active."""
+        if config.grad_mode == "analytic":
+            lik, g_lik = _analytic_lik_value_grad(free, bounds, patch,
+                                                  bg_E_G, bg_var_G)
+            if include_kl:
+                kl, g_kl = jax.value_and_grad(kl_of)(free)
+                return -(lik + kl), -(g_lik + g_kl)
+            return -lik, -g_lik
+        return jax.value_and_grad(neg_elbo)(free)
+
     def fg(free):
-        f, g = jax.value_and_grad(neg_elbo)(free)
+        f, g = fg_raw(free)
         if pixel_axis is not None:
             # psum the derivatives rather than the objective: psum inside
             # the differentiated function does not accumulate cotangents
@@ -351,9 +435,8 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
         return f, g
 
     def fgh_analytic(free):
-        """f, g by the same AD path as fg (keeps the trust-region rho
-        comparisons bit-consistent between evaluators); H analytic."""
-        f, g = jax.value_and_grad(neg_elbo)(free)
+        """f, g from the same evaluator as fg; H analytic."""
+        f, g = fg_raw(free)
         H = -_analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G)
         if include_kl:
             H = H - jax.hessian(kl_of)(free)
