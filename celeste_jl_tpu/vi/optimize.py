@@ -297,11 +297,15 @@ for _b in range(5):
         _PERM26[6 + _c, 6 + 4 * _b + _j] = 1.0
 
 
-def _analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G):
-    """Exact likelihood Hessian wrt the free parameters, via analytic
-    per-band blocks in (theta6, C20) space chained through the (pixel-free)
-    free -> (theta, C) map with AD. ~20x cheaper than AD through the render
-    (models/mixture_derivs.py)."""
+def _analytic_lik_fgh(free, bounds, patch, bg_E_G, bg_var_G):
+    """Exact likelihood (value, gradient, Hessian) wrt the free parameters
+    in ONE pass over the pixel fields: analytic per-band blocks in
+    (theta6, C20) space (models/mixture_derivs.py) chained through the
+    (pixel-free) free -> (theta, C) map with AD. ~20x cheaper than AD
+    through the render for the Hessian; the value/gradient ride along for
+    free (_band_lik_terms computes them anyway) — the grad_mode="analytic"
+    refresh evaluator, which therefore renders the fields once per refresh
+    instead of once for fg plus once for H."""
     dtype = free.dtype
     vp = bijectors.to_bound(free, bounds)
     theta6 = vp[0:6]
@@ -340,8 +344,16 @@ def _analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G):
 
     J_h = jax.jacfwd(h26)(free)                        # (26, 41)
     T_h = jax.jacfwd(jax.jacfwd(h26))(free)            # (26, 41, 41)
+    g_free = J_h.T @ g26
     H_free = J_h.T @ (H26 @ J_h) + jnp.einsum("a,aij->ij", g26, T_h)
-    return H_free
+    return jnp.sum(lik_b), g_free, H_free
+
+
+def _analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G):
+    """Exact likelihood Hessian wrt the free parameters (the H-only view
+    of _analytic_lik_fgh, kept for the grad_mode="ad" refresh path whose
+    f, g come from AD)."""
+    return _analytic_lik_fgh(free, bounds, patch, bg_E_G, bg_var_G)[2]
 
 
 def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
@@ -435,11 +447,26 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
         return f, g
 
     def fgh_analytic(free):
-        """f, g from the same evaluator as fg; H analytic."""
-        f, g = fg_raw(free)
-        H = -_analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G)
-        if include_kl:
-            H = H - jax.hessian(kl_of)(free)
+        """f, g from the same evaluator family as fg; H analytic. In
+        analytic grad mode the value/gradient/Hessian come out of ONE
+        field pass (_analytic_lik_fgh): the VALUE is the same expression
+        as fg_raw's (_band_poisson_bound on _band_flat_fields), keeping
+        the trust-region rho's f comparisons consistent; the gradient
+        differs from fg_raw's only in contraction order (equal to
+        roundoff), which rho never compares across evaluators."""
+        if config.grad_mode == "analytic":
+            lik, g_lik, H_lik = _analytic_lik_fgh(free, bounds, patch,
+                                                  bg_E_G, bg_var_G)
+            f, g, H = -lik, -g_lik, -H_lik
+            if include_kl:
+                kl, g_kl = jax.value_and_grad(kl_of)(free)
+                f, g = f - kl, g - g_kl
+                H = H - jax.hessian(kl_of)(free)
+        else:
+            f, g = fg_raw(free)
+            H = -_analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G)
+            if include_kl:
+                H = H - jax.hessian(kl_of)(free)
         if pixel_axis is not None:
             f, g, H = jax.lax.psum((f, g, H), pixel_axis)
         return f, g, H
