@@ -128,6 +128,15 @@ class NewtonConfig(NamedTuple):
     #                + 12 weighted moment reductions instead of a full
     #                reverse pass. f64-exact vs AD
     #                (tests/test_analytic_grad.py).
+    # Measured on the v5e headline bench (BENCH_GRAD=analytic, 1024
+    # sources, pjacobi): 668.4 vs 877 fits/s at near-identical
+    # trajectories (mean iters 56.9 vs 58.1) — the analytic fg pass's
+    # extra moment reductions cost more than XLA's fused reverse pass
+    # saves, and the cheap fg eval runs ~6x per Hessian refresh
+    # (hess_every=6), so the one-pass fgh refresh cannot recoup it.
+    # "ad" therefore stays the default on every platform; "analytic"
+    # is kept as the independently-derived gradient cross-check and
+    # for problems dominated by refresh cost (hess_every=1).
     grad_mode: str = "ad"
     cg_iters: int = 41
     ms_iters: int = 12
