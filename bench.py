@@ -23,6 +23,9 @@ import numpy as np
 
 # 1024 measured ~3% over 512 on the TPU chip (544 vs 530 fits/s) — the eigh
 # and render stages are linear, but per-launch fixed costs amortize further.
+# 2048 measured WORSE (800 vs 922 fits/s same session, pjacobi): past the
+# knee the doubled live render/moment buffers cost more HBM traffic than
+# the remaining fixed costs amortize. 1024 stays the default.
 S = int(os.environ.get("BENCH_SOURCES", "1024"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 # pjacobi/4: the Pallas systolic-Jacobi TR solver (ops/pallas_eigh.py)
