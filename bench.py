@@ -44,6 +44,7 @@ JACOBI_SWEEPS = os.environ.get("BENCH_JACOBI_SWEEPS",
                                "4" if TR_SOLVER == "pjacobi" else "")
 JACOBI_TOL = os.environ.get("BENCH_JACOBI_TOL", "")
 GRAD_MODE = os.environ.get("BENCH_GRAD", "")          # ad | analytic
+TR_KERNEL = os.environ.get("BENCH_TR_KERNEL", "")     # xla | pallas
 BASELINE_FITS_PER_SEC = 1.0
 
 
@@ -68,7 +69,7 @@ def main():
     t0 = time.perf_counter()
     kw = {}
     if (TR_SOLVER or HESS_EVERY or MS_ITERS or SECULAR or BISECT_ITERS
-            or JACOBI_SWEEPS or JACOBI_TOL or GRAD_MODE):
+            or JACOBI_SWEEPS or JACOBI_TOL or GRAD_MODE or TR_KERNEL):
         from celeste_jl_tpu.ops.newton import NewtonConfig
         cfg = NewtonConfig()
         if TR_SOLVER:
@@ -87,6 +88,8 @@ def main():
             cfg = cfg._replace(jacobi_tol=float(JACOBI_TOL))
         if GRAD_MODE:
             cfg = cfg._replace(grad_mode=GRAD_MODE)
+        if TR_KERNEL:
+            cfg = cfg._replace(tr_kernel=TR_KERNEL)
         kw["config"] = cfg
     res = fit_sources(vp0s, patches, **kw)  # compile + warm up
     jax.block_until_ready(res.vp)

@@ -145,6 +145,24 @@ class NewtonConfig(NamedTuple):
     # enough to add TR iterations and near-tie flips; 5+ buys nothing,
     # tools/quality_pjacobi.py); the warm-started XLA "jacobi" needs more
     jacobi_max_sweeps: int = 12
+    # TR subproblem execution for the eig-family solvers:
+    #   "xla"    — _solve_tr_eig per lane: the 48-iteration secular
+    #              bisection is a lax.scan whose trips each pay an XLA
+    #              loop round trip (profiled at ~2.2 ms/TR step on the
+    #              1024-lane fit, benchmark/profile_results.md);
+    #   "pallas" — ops/pallas_tr.py runs the whole subproblem (interior
+    #              check, bisection, hard case) inside one VMEM-resident
+    #              kernel per batch. Only takes effect with
+    #              secular="bisect"; CPU/f64 batches fall back to the
+    #              host path inside the custom_vmap rule either way.
+    # MEASURED a wash on the v5e headline bench (BENCH_TR_KERNEL=pallas,
+    # 1024 lanes, pjacobi): 920.2 vs 922.2 fits/s same session, mean
+    # Newton iters BIT-identical (58.114) — the serial-depth hypothesis
+    # for the TR step loop is refuted; XLA's scan trips on the (B, 42)
+    # bisection are already hidden behind the step's DMA traffic
+    # (benchmark/profile_results.md). "xla" stays the default; the
+    # kernel is kept for configs that lengthen the bisection chain.
+    tr_kernel: str = "xla"
 
 
 class NewtonState(NamedTuple):
@@ -434,6 +452,12 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
             f, g, _ = fgh(x)
             return f, g
 
+    tr_eig_fn = None
+    if (config.tr_kernel == "pallas" and config.secular == "bisect"
+            and config.tr_solver not in ("cg", "chol")):
+        from .pallas_tr import make_tr_eig
+        tr_eig_fn = make_tr_eig(_solve_tr_eig, config.bisect_iters)
+
     f0, g0 = fg(x0)
     dtype = x0.dtype
     state0 = NewtonState(
@@ -463,8 +487,12 @@ def minimize_newton_tr(fgh: Callable, x0: jnp.ndarray,
             w, Q = curv
             D = st.g.shape[0]
             g = st.g if Q.shape[0] == D else jnp.pad(st.g, (0, Q.shape[0] - D))
-            p_eig, pred = _solve_tr_eig(Q.T @ g, w, st.delta,
-                                        config.bisect_iters, config.secular)
+            if tr_eig_fn is not None:
+                p_eig, pred = tr_eig_fn(Q.T @ g, w, st.delta)
+            else:
+                p_eig, pred = _solve_tr_eig(Q.T @ g, w, st.delta,
+                                            config.bisect_iters,
+                                            config.secular)
             p = (Q @ p_eig)[:D]
         x_new = st.x + p
         f_new, g_new = fg(x_new)
