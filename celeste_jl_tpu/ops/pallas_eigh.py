@@ -212,8 +212,8 @@ def _sweep_q_kernel(q_ref, cs_ref, qo_ref, tmp_ref):
     jax.lax.fori_loop(0, D - 1, rnd_q, 0)
 
 
-@jax.jit
-def _one_sweep(Am, Qm):
+@partial(jax.jit, static_argnames=("interpret",))
+def _one_sweep(Am, Qm, interpret=False):
     """(B, D, D) f32 -> one systolic sweep via the Pallas kernels."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -243,6 +243,7 @@ def _one_sweep(Am, Qm):
                    jax.ShapeDtypeStruct((D - 1, 2 * K, Bp), Am.dtype)],
         input_output_aliases={0: 0},
         scratch_shapes=[pltpu.VMEM((D, D, LANES), Am.dtype)],
+        interpret=interpret,
     )(At)
     Qo = pl.pallas_call(
         _sweep_q_kernel,
@@ -252,6 +253,7 @@ def _one_sweep(Am, Qm):
         out_shape=jax.ShapeDtypeStruct((D, D, Bp), Qm.dtype),
         input_output_aliases={0: 0},
         scratch_shapes=[pltpu.VMEM((D, D, LANES), Qm.dtype)],
+        interpret=interpret,
     )(Qt, cs)
     Ao = jnp.transpose(Ao, (2, 0, 1))[:B]
     Qo = jnp.transpose(Qo, (2, 0, 1))[:B]
@@ -263,14 +265,16 @@ def _offdiag_norm(M):
     return jnp.sqrt(jnp.sum(off * off, axis=(-1, -2)))
 
 
-@partial(jax.jit, static_argnames=("tol", "max_sweeps"))
-def pallas_jacobi_eigh(H, Q0=None, tol=1e-6, max_sweeps=10):
+@partial(jax.jit, static_argnames=("tol", "max_sweeps", "interpret"))
+def pallas_jacobi_eigh(H, Q0=None, tol=1e-6, max_sweeps=10, interpret=False):
     """Batched (B, D, D) symmetric eigendecomposition, D=42 fixed.
 
     Per sweep: the Pallas kernel (41 VMEM-resident rounds), then one
     Newton-Schulz re-orthogonalization of Q and re-formation M <- Q'H0Q
     (batched HIGHEST matmuls) to reset f32 rotation-noise accumulation.
-    Returns (w unsorted, Q, sweeps). Warm-startable via Q0."""
+    Returns (w unsorted, Q, sweeps). Warm-startable via Q0.
+    interpret=True runs the kernels in the Pallas interpreter (the CPU
+    regression-test path, tests/test_pallas_eigh.py)."""
     assert H.shape[-1] == D, H.shape
     dtype = H.dtype
     eye = jnp.eye(D, dtype=dtype)
@@ -285,7 +289,7 @@ def pallas_jacobi_eigh(H, Q0=None, tol=1e-6, max_sweeps=10):
 
     def body(carry):
         M, Q, i = carry
-        M, Q = _one_sweep(M, Q)
+        M, Q = _one_sweep(M, Q, interpret=interpret)
         QtQ = jnp.einsum("...ji,...jk->...ik", Q, Q, precision=HIGHEST)
         Q = jnp.einsum("...ij,...jk->...ik", Q, 1.5 * eye - 0.5 * QtQ,
                        precision=HIGHEST)
@@ -301,8 +305,9 @@ def pallas_jacobi_eigh(H, Q0=None, tol=1e-6, max_sweeps=10):
     return jnp.diagonal(M, axis1=-2, axis2=-1), Q, sweeps
 
 
-def _eigh_tr_batched(Hp, Qp, tol, max_sweeps):
-    w, Q, _ = pallas_jacobi_eigh(Hp, Qp, tol=tol, max_sweeps=max_sweeps)
+def _eigh_tr_batched(Hp, Qp, tol, max_sweeps, interpret=False):
+    w, Q, _ = pallas_jacobi_eigh(Hp, Qp, tol=tol, max_sweeps=max_sweeps,
+                                 interpret=interpret)
     return w, Q
 
 
@@ -324,12 +329,28 @@ def make_eigh_tr(tol=1e-6, max_sweeps=10):
             Hp = jnp.broadcast_to(Hp, (axis_size,) + Hp.shape)
         if not qb:
             Qp = jnp.broadcast_to(Qp, (axis_size,) + Qp.shape)
+        # Nested vmaps re-enter this rule with extra leading batch dims;
+        # flatten to one batch axis and restore on the way out (ADVICE r4).
+        lead = Hp.shape[:-2]
+        if Hp.ndim > 3:
+            Hp = Hp.reshape((-1,) + Hp.shape[-2:])
+            Qp = Qp.reshape((-1,) + Qp.shape[-2:])
         # the Pallas path is the f32 TPU fast path; anything else
-        # (CPU parity runs, f64) batches through XLA's eigh
-        if Hp.dtype != jnp.float32 or jax.default_backend() != "tpu":
+        # (CPU parity runs, f64) batches through XLA's eigh.
+        # CELESTE_PALLAS_INTERPRET=1 (read at trace time) routes f32
+        # batches through the INTERPRETED kernel on any backend — the
+        # in-suite CPU regression path for the production TPU solver.
+        import os
+        force_interp = (os.environ.get("CELESTE_PALLAS_INTERPRET") == "1"
+                        and Hp.dtype == jnp.float32)
+        if force_interp:
+            w, Q = _eigh_tr_batched(Hp, Qp, tol, max_sweeps, interpret=True)
+        elif Hp.dtype != jnp.float32 or jax.default_backend() != "tpu":
             w, Q = jnp.linalg.eigh(Hp)
         else:
             w, Q = _eigh_tr_batched(Hp, Qp, tol, max_sweeps)
+        w = w.reshape(lead + w.shape[-1:])
+        Q = Q.reshape(lead + Q.shape[-2:])
         return (w, Q), (True, True)
 
     return eigh_tr

@@ -146,12 +146,23 @@ def make_tr_eig(host_solve, bisect_iters):
             w = jnp.broadcast_to(w, (axis_size,) + w.shape)
         if not db:
             delta = jnp.broadcast_to(delta, (axis_size,) + delta.shape)
+        # Nested vmaps re-enter this rule with extra leading batch dims
+        # (gq (..., B, D)); flatten them to one batch axis for the kernel
+        # and restore on the way out (ADVICE r4: the bare (B, D) unpack
+        # crashed instead of handling it).
+        lead = gq.shape[:-1]
+        if gq.ndim > 2:
+            gq = gq.reshape(-1, gq.shape[-1])
+            w = w.reshape(-1, w.shape[-1])
+            delta = delta.reshape(-1)
         if gq.dtype != jnp.float32 or jax.default_backend() != "tpu":
             p, pred = jax.vmap(
                 lambda a, b, d: host_solve(a, b, d, bisect_iters,
                                            "bisect"))(gq, w, delta)
         else:
             p, pred = tr_eig_batched(gq, w, delta, bisect_iters)
+        p = p.reshape(lead + p.shape[-1:])
+        pred = pred.reshape(lead)
         return (p, pred), (True, True)
 
     return tr_eig
