@@ -45,6 +45,10 @@ JACOBI_SWEEPS = os.environ.get("BENCH_JACOBI_SWEEPS",
 JACOBI_TOL = os.environ.get("BENCH_JACOBI_TOL", "")
 GRAD_MODE = os.environ.get("BENCH_GRAD", "")          # ad | analytic
 TR_KERNEL = os.environ.get("BENCH_TR_KERNEL", "")     # xla | pallas
+# Fused render->moment refresh kernel (ops/pallas_refresh.py); default
+# pallas on TPU. BENCH_REFRESH_KERNEL=xla restores the materializing path.
+REFRESH_KERNEL = os.environ.get(
+    "BENCH_REFRESH_KERNEL", "pallas")                 # pallas | xla
 BASELINE_FITS_PER_SEC = 1.0
 
 
@@ -69,9 +73,12 @@ def main():
     t0 = time.perf_counter()
     kw = {}
     if (TR_SOLVER or HESS_EVERY or MS_ITERS or SECULAR or BISECT_ITERS
-            or JACOBI_SWEEPS or JACOBI_TOL or GRAD_MODE or TR_KERNEL):
+            or JACOBI_SWEEPS or JACOBI_TOL or GRAD_MODE or TR_KERNEL
+            or REFRESH_KERNEL):
         from celeste_jl_tpu.ops.newton import NewtonConfig
         cfg = NewtonConfig()
+        if REFRESH_KERNEL:
+            cfg = cfg._replace(refresh_kernel=REFRESH_KERNEL)
         if TR_SOLVER:
             cfg = cfg._replace(tr_solver=TR_SOLVER)
         if HESS_EVERY:

@@ -32,6 +32,7 @@ parameters pos(2), gal_frac_dev, gal_axis_ratio, gal_angle, gal_radius_px).
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .bvn import get_bvn_cov
 from .params import GAL_ETA, GAL_NU, GAL_IS_DEV
@@ -58,6 +59,109 @@ def vech_cov_chain(axis_ratio, angle, radius):
     A = jax.jacfwd(vech)(qtr)
     T = jax.jacfwd(jax.jacfwd(vech))(qtr)
     return A, T
+
+
+def eta_basis_rows(L00, L01, L11):
+    """R: eta-derivative coefficients in the degree-2 basis
+    b = [1, l1, l2, l1^2, l1*l2, l2^2], per component — (C, 6eta, 6b).
+    Built with stacks, not .at[] scatters — under the (S, B) vmaps each
+    scatter lowers to a slow dynamic-update-slice per instance."""
+    zc = jnp.zeros_like(L00)
+    oc = jnp.ones_like(L00)
+    half = 0.5 * oc
+    return jnp.stack([
+        jnp.stack([zc, oc, zc, zc, zc, zc], -1),            # d/dmu1
+        jnp.stack([zc, zc, oc, zc, zc, zc], -1),            # d/dmu2
+        jnp.stack([-0.5 * L00, zc, zc, half, zc, zc], -1),  # d/ds11
+        jnp.stack([-L01, zc, zc, zc, oc, zc], -1),          # d/ds12
+        jnp.stack([-0.5 * L11, zc, zc, zc, zc, half], -1),  # d/ds22
+        jnp.stack([oc, zc, zc, zc, zc, zc], -1),            # d/dlogw
+    ], axis=1)                                              # (C, 6, 6)
+
+
+# Flat order of the 15 distinct degree-<=4 pixel moments
+# m_ab = sum_px w g l1^a l2^b:
+#   [m00, m10, m01, m20, m11, m02, m30, m21, m12, m03,
+#    m40, m31, m22, m13, m04]
+# and the (6, 6) basis-moment matrix M[i, j] = sum w g b_i b_j as indices
+# into that flat vector (b the degree-2 basis above).
+MOMENT_IDX = np.asarray([
+    [0, 1, 2, 3, 4, 5],
+    [1, 3, 4, 6, 7, 8],
+    [2, 4, 5, 7, 8, 9],
+    [3, 6, 7, 10, 11, 12],
+    [4, 7, 8, 11, 12, 13],
+    [5, 8, 9, 12, 13, 14],
+])
+
+
+def moment_matrix(m15):
+    """(..., C, 15) flat moments -> (..., C, 6, 6) symmetric basis-moment
+    matrices (see MOMENT_IDX). Built with static slices + stacks, not
+    m15[..., MOMENT_IDX] — a fancy-index lowers to an XLA gather, which
+    is slow on TPU for these shapes."""
+    cols = [m15[..., k] for k in range(15)]
+    return jnp.stack([jnp.stack([cols[i] for i in row], axis=-1)
+                      for row in MOMENT_IDX], axis=-2)
+
+
+def hess_from_moments(M, L00, L01, L11, P, chain, chain2):
+    """Weight-contracted shape-Hessian of one mixture from its per-component
+    basis-moment matrices — the assembly tail of mixture_value_jac_hess,
+    shared with the fused Pallas refresh kernel (ops/pallas_refresh.py),
+    whose kernel emits the moments and leaves this tiny per-component
+    contraction to XLA.
+
+    M: (C, 6, 6) W-weighted basis moments; L00/L01/L11: (C,) precision
+    entries; P: (C, 6theta, 6b) chain-composed basis coefficients;
+    chain: (C, 6eta, 6theta); chain2: (C, 6eta, 6theta, 6theta).
+    Returns Hc (6, 6) = sum_px W d2 fs/dtheta2.
+    """
+    dtype = M.dtype
+    C = M.shape[0]
+
+    # Term 1: sum wh g Dtheta Dtheta' = P M P'.
+    H = jnp.einsum("ctb,cbd,cud->tu", P, M, P)
+
+    # Term 2: chain' D2M chain with D2M = sum wh g D2log (eta-space).
+    Lam = jnp.stack([jnp.stack([L00, L01], -1),
+                     jnp.stack([L01, L11], -1)], -2)               # (C,2,2)
+    m0 = M[:, 0, 0]                                                # (C,)
+    m1 = M[:, 0, 1:3]                                              # (C,2)
+    M2 = jnp.stack([jnp.stack([M[:, 1, 1], M[:, 1, 2]], -1),
+                    jnp.stack([M[:, 1, 2], M[:, 2, 2]], -1)], -2)  # (C,2,2)
+
+    E = jnp.asarray([[[1.0, 0.0], [0.0, 0.0]],
+                     [[0.0, 1.0], [1.0, 0.0]],
+                     [[0.0, 0.0], [0.0, 1.0]]], dtype)             # (3,2,2)
+    G = -jnp.einsum("cax,exy->ceay", Lam, E)                       # (C,3,2,2)
+    LEL = jnp.einsum("cax,exy,cyb->ceab", Lam, E, Lam)             # (C,3,2,2)
+
+    mu_s = jnp.einsum("ceay,cy->cae", G, m1)                       # (C,2,3)
+    GM2 = jnp.einsum("ceay,cyb->ceab", G, M2)
+    Vs = 0.5 * (GM2 + jnp.swapaxes(GM2, -1, -2)
+                + m0[:, None, None, None] * LEL)                   # (C,3,2,2)
+
+    ss = jnp.stack([Vs[:, :, 0, 0], 2.0 * Vs[:, :, 0, 1], Vs[:, :, 1, 1]],
+                   1)                                              # (C,3row,3col)
+    z21 = jnp.zeros((C, 2, 1), dtype)
+    z31 = jnp.zeros((C, 3, 1), dtype)
+    z16 = jnp.zeros((C, 1, 6), dtype)
+    D2M = jnp.concatenate([
+        jnp.concatenate([-Lam * m0[:, None, None], mu_s, z21], -1),
+        jnp.concatenate([jnp.swapaxes(mu_s, -1, -2), ss, z31], -1),
+        z16,
+    ], axis=1)                                                     # (C, 6, 6)
+    H = H + jnp.einsum("cat,cab,cbu->tu", chain, D2M, chain)
+
+    # Term 3: sum wh g Dlog_a (d2 eta_a/dtheta2).
+    DlogM = jnp.stack([
+        m1[:, 0], m1[:, 1],
+        0.5 * (M2[:, 0, 0] - L00 * m0),
+        M2[:, 0, 1] - L01 * m0,
+        0.5 * (M2[:, 1, 1] - L11 * m0),
+        m0], 1)                                                    # (C,6eta)
+    return H + jnp.einsum("ca,catu->tu", DlogM, chain2)
 
 
 def mixture_values(x1, x2, means, covs, weights, *_unused):
@@ -107,21 +211,7 @@ def mixture_value_jac_hess(x1, x2, means, covs, weights, chain, chain2, wh):
 
     p20, p11, p02 = l1 * l1, l1 * l2, l2 * l2
 
-    # R: eta-derivative coefficients in the b basis, (C, 6eta, 6b). Built
-    # with stacks, not .at[] scatters — under the (S, B) vmaps each scatter
-    # lowers to a slow dynamic-update-slice per instance.
-    C = means.shape[0]
-    zc = jnp.zeros_like(L00)
-    oc = jnp.ones_like(L00)
-    half = 0.5 * oc
-    R = jnp.stack([
-        jnp.stack([zc, oc, zc, zc, zc, zc], -1),           # d/dmu1
-        jnp.stack([zc, zc, oc, zc, zc, zc], -1),           # d/dmu2
-        jnp.stack([-0.5 * L00, zc, zc, half, zc, zc], -1),  # d/ds11
-        jnp.stack([-L01, zc, zc, zc, oc, zc], -1),          # d/ds12
-        jnp.stack([-0.5 * L11, zc, zc, zc, zc, half], -1),  # d/ds22
-        jnp.stack([oc, zc, zc, zc, zc, zc], -1),            # d/dlogw
-    ], axis=1)                                              # (C, 6, 6)
+    R = eta_basis_rows(L00, L01, L11)                       # (C, 6eta, 6b)
 
     # P: theta-derivative coefficients in the b basis, (C, 6theta, 6b).
     P = jnp.einsum("cat,cab->ctb", chain, R)
@@ -152,48 +242,7 @@ def mixture_value_jac_hess(x1, x2, means, covs, weights, chain, chain2, wh):
         jnp.stack([m02, m12, m03, m22, m13, m04], -1),
     ], axis=1)                                      # (C, 6b, 6b)
 
-    # Term 1: sum wh g Dtheta Dtheta' = P M P'.
-    H = jnp.einsum("ctb,cbd,cud->tu", P, M, P)
-
-    # Term 2: chain' D2M chain with D2M = sum wh g D2log (eta-space).
-    Lam = jnp.stack([jnp.stack([L00, L01], -1),
-                     jnp.stack([L01, L11], -1)], -2)               # (C,2,2)
-    m0 = M[:, 0, 0]                                                # (C,)
-    m1 = M[:, 0, 1:3]                                              # (C,2)
-    M2 = jnp.stack([jnp.stack([M[:, 1, 1], M[:, 1, 2]], -1),
-                    jnp.stack([M[:, 1, 2], M[:, 2, 2]], -1)], -2)  # (C,2,2)
-
-    E = jnp.asarray([[[1.0, 0.0], [0.0, 0.0]],
-                     [[0.0, 1.0], [1.0, 0.0]],
-                     [[0.0, 0.0], [0.0, 1.0]]], dtype)             # (3,2,2)
-    G = -jnp.einsum("cax,exy->ceay", Lam, E)                       # (C,3,2,2)
-    LEL = jnp.einsum("cax,exy,cyb->ceab", Lam, E, Lam)             # (C,3,2,2)
-
-    mu_s = jnp.einsum("ceay,cy->cae", G, m1)                       # (C,2,3)
-    GM2 = jnp.einsum("ceay,cyb->ceab", G, M2)
-    Vs = 0.5 * (GM2 + jnp.swapaxes(GM2, -1, -2)
-                + m0[:, None, None, None] * LEL)                   # (C,3,2,2)
-
-    ss = jnp.stack([Vs[:, :, 0, 0], 2.0 * Vs[:, :, 0, 1], Vs[:, :, 1, 1]],
-                   1)                                              # (C,3row,3col)
-    z21 = jnp.zeros((C, 2, 1), dtype)
-    z31 = jnp.zeros((C, 3, 1), dtype)
-    z16 = jnp.zeros((C, 1, 6), dtype)
-    D2M = jnp.concatenate([
-        jnp.concatenate([-Lam * m0[:, None, None], mu_s, z21], -1),
-        jnp.concatenate([jnp.swapaxes(mu_s, -1, -2), ss, z31], -1),
-        z16,
-    ], axis=1)                                                     # (C, 6, 6)
-    H = H + jnp.einsum("cat,cab,cbu->tu", chain, D2M, chain)
-
-    # Term 3: sum wh g Dlog_a (d2 eta_a/dtheta2).
-    DlogM = jnp.stack([
-        m1[:, 0], m1[:, 1],
-        0.5 * (M2[:, 0, 0] - L00 * m0),
-        M2[:, 0, 1] - L01 * m0,
-        0.5 * (M2[:, 1, 1] - L11 * m0),
-        m0], 1)                                                    # (C,6eta)
-    H = H + jnp.einsum("ca,catu->tu", DlogM, chain2)
+    H = hess_from_moments(M, L00, L01, L11, P, chain, chain2)
     return fs, J, H
 
 
@@ -226,18 +275,7 @@ def mixture_grad_contract(x1, x2, means, covs, weights, chain, _chain2, w):
     m02 = jnp.sum(wg * l2 * l2, axis=-1)
     m = jnp.stack([m00, m10, m01, m20, m11, m02], -1)       # (C, 6b)
 
-    zc = jnp.zeros_like(L00)
-    oc = jnp.ones_like(L00)
-    half = 0.5 * oc
-    R = jnp.stack([
-        jnp.stack([zc, oc, zc, zc, zc, zc], -1),
-        jnp.stack([zc, zc, oc, zc, zc, zc], -1),
-        jnp.stack([-0.5 * L00, zc, zc, half, zc, zc], -1),
-        jnp.stack([-L01, zc, zc, zc, oc, zc], -1),
-        jnp.stack([-0.5 * L11, zc, zc, zc, zc, half], -1),
-        jnp.stack([oc, zc, zc, zc, zc, zc], -1),
-    ], axis=1)                                              # (C, 6eta, 6b)
-    P = jnp.einsum("cat,cab->ctb", chain, R)                # (C, 6th, 6b)
+    P = jnp.einsum("cat,cab->ctb", chain, eta_basis_rows(L00, L01, L11))
     return jnp.einsum("ctb,cb->t", P, m)
 
 

@@ -163,6 +163,19 @@ class NewtonConfig(NamedTuple):
     # (benchmark/profile_results.md). "xla" stays the default; the
     # kernel is kept for configs that lengthen the bisection chain.
     tr_kernel: str = "xla"
+    # Analytic-Hessian REFRESH evaluator (vi/optimize._analytic_lik_fgh):
+    #   "xla"    — per-band _band_lik_terms; XLA materializes the
+    #              per-component fields and flattened pixel fields in HBM
+    #              between fusions (the profiled ~700 ms copy-start DMA
+    #              family per 1024-lane launch, profile_results.md);
+    #   "pallas" — ops/pallas_refresh.py: the whole render -> Poisson-bound
+    #              -> moment-contraction pixel pass VMEM-resident per
+    #              (source, band) row; only the ~(70 + 15C) contracted
+    #              outputs reach HBM. f64-exact vs the XLA path up to
+    #              summation order (tests/test_pallas_refresh.py).
+    # parallel/run auto-selects "pallas" on TPU (CELESTE_REFRESH_KERNEL
+    # overrides); CPU/f64 parity runs keep "xla".
+    refresh_kernel: str = "xla"
 
 
 class NewtonState(NamedTuple):

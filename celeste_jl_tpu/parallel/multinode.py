@@ -20,9 +20,18 @@ plus a historical Dtree distributed work-stealing scheduler
 Checkpoint/resume granularity is the box, like the reference (main.jl:50-56):
 a box whose result file exists is never re-run, so resume = rerun the farm.
 Within a host, chips are used by the batched fit launches themselves
-(parallel/mesh.py); across hosts, start one worker per host. For multi-host
-JAX pods, call `jax.distributed.initialize()` before `run_worker` and gate
-the queue on `jax.process_index() == 0` of each host group.
+(parallel/mesh.py); across hosts there are two modes:
+
+  * independent workers — one worker process per host, each draining the
+    shared queue with its own chips (the taskfarmer shape);
+  * one multi-host pod over DCN — `init_distributed()` wires the processes
+    into a single JAX runtime (Slurm auto-detection or explicit
+    coordinator), `fit_sources_distributed` shards one fit batch across
+    EVERY process's devices (data-parallel source lanes over DCN, the
+    SURVEY §2.3 "jax.distributed multi-host" path), and the queue is gated
+    on `is_queue_leader()` so exactly one process claims boxes and writes
+    results while all processes participate in the sharded launches.
+    Exercised by a real two-process CPU pod in tests/test_multihost.py.
 """
 
 import json
@@ -33,6 +42,109 @@ import numpy as np
 
 from ..io.dataset import BoundingBox
 from ..utils import log as Log
+
+
+_DIST_INITIALIZED = False
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize the multi-host JAX runtime (idempotent).
+
+    With no arguments, defers to jax.distributed's cluster auto-detection
+    (Slurm/Open MPI/TPU pod env vars — the contrib/slurm/infer_boxes.sl
+    path, reference analog contrib/nersc/infer.sl:1-30). Explicit
+    arguments (or CELESTE_COORDINATOR / CELESTE_NUM_PROCESSES /
+    CELESTE_PROCESS_ID) wire an ad-hoc pod — e.g. the two-process CPU pod
+    in tests/test_multihost.py. Returns (process_index, process_count).
+    """
+    import jax
+
+    global _DIST_INITIALIZED
+    if _DIST_INITIALIZED:
+        return jax.process_index(), jax.process_count()
+    coordinator_address = (coordinator_address
+                           or os.environ.get("CELESTE_COORDINATOR") or None)
+    if num_processes is None and os.environ.get("CELESTE_NUM_PROCESSES"):
+        num_processes = int(os.environ["CELESTE_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("CELESTE_PROCESS_ID"):
+        process_id = int(os.environ["CELESTE_PROCESS_ID"])
+    try:
+        # NOTE: must run before anything touches the JAX backend —
+        # jax.device_count()/process_count() initialize it, after which
+        # distributed wiring is rejected. Hence the module flag above
+        # rather than a process_count() pre-check.
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        _DIST_INITIALIZED = True
+    except (ValueError, RuntimeError) as exc:
+        # single-process runs (no cluster env, no explicit coordinator)
+        # stay single-process — the worker loop works either way
+        Log.info(f"jax.distributed not initialized ({exc}); "
+                 "running single-process")
+    return jax.process_index(), jax.process_count()
+
+
+def is_queue_leader():
+    """True on the process that should claim boxes and write results —
+    process 0 of the pod (every process in a single-process run)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
+def fit_sources_distributed(vp0s, patches, config=None, include_kl=True,
+                            hessian_mode="analytic"):
+    """One fit batch sharded across EVERY process's devices over DCN.
+
+    vp0s (S, 44) / patches (leading S) must be identical (host-replicated
+    numpy) on all processes — the per-box staging is cheap host work, the
+    device fits are not, so each process stages the box and contributes
+    its devices to one SPMD launch. Source lanes are padded to the global
+    device count, sharded on a global 1-D 'src' mesh (pure DP — lanes are
+    independent, so no cross-shard collectives except the final
+    all-gather), and the gathered FitResult is returned identically on
+    every process.
+
+    Single-process (or uninitialized) pods degrade to the local sharded
+    fit over the process's own devices.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from ..ops.newton import NewtonConfig
+    from ..vi.optimize import fit_sources
+
+    config = config or NewtonConfig()
+    devs = np.asarray(jax.devices())          # global device list
+    n_dev = devs.size
+    nproc = jax.process_count()
+    S = vp0s.shape[0]
+    pad = (-S) % n_dev
+    pad_idx = np.concatenate([np.arange(S), np.zeros(pad, np.int64)])
+
+    mesh = Mesh(devs, ("src",))
+    spec = PartitionSpec("src")
+    repl = PartitionSpec()
+
+    # each process contributes its contiguous row block
+    rows = pad_idx.reshape(nproc, -1)[jax.process_index()]
+    to_global = lambda a: multihost_utils.host_local_array_to_global_array(
+        np.asarray(a)[rows], mesh, spec)
+    vp_g = to_global(vp0s)
+    patches_g = jax.tree.map(to_global, patches)
+
+    fit = jax.jit(
+        lambda v, p: fit_sources(v, p, include_kl=include_kl,
+                                 config=config, hessian_mode=hessian_mode),
+        out_shardings=NamedSharding(mesh, repl))
+    res = fit(vp_g, patches_g)
+    # replicated outputs are addressable everywhere; drop the pad lanes
+    return jax.tree.map(lambda x: np.asarray(x.addressable_data(0))[:S],
+                        res)
 
 
 def split_box(box: BoundingBox, n_ra: int, n_dec: int):
@@ -179,6 +291,53 @@ def run_worker(queue: FileWorkQueue, load_images, method="joint_vi",
             except Exception as exc:
                 Log.exception(exc)
                 queue.release(box)
+    return completed
+
+
+def run_worker_distributed(queue: FileWorkQueue, stage_box, save_box=None,
+                           config=None, worker_id=None, max_boxes=None):
+    """Queue-draining loop for ONE multi-host pod (init_distributed first).
+
+    Every process executes this loop in lockstep: the leader
+    (is_queue_leader) claims the next pending box and broadcasts its index
+    over the pod; every process stages the box with the (deterministic)
+    `stage_box: BoundingBox -> (vp0s, patches)` host work and joins the
+    DCN-sharded fit; the leader alone writes results via
+    `save_box(box, fit_result)` (whose output file marks the box done for
+    the whole farm). Followers never touch the queue — the SURVEY §2.3
+    process-gating of the reference's master-rank I/O
+    (SDSSIO.jl:687-691 masterrpc). Returns boxes completed (same value on
+    every process)."""
+    from jax.experimental import multihost_utils
+
+    worker_id = worker_id or f"{os.uname().nodename}:{os.getpid()}"
+    leader = is_queue_leader()
+    completed = 0
+    while max_boxes is None or completed < max_boxes:
+        nxt = np.int64(-1)
+        if leader:
+            for i, box in enumerate(queue.boxes()):
+                if queue.done(box):
+                    continue
+                if queue.try_claim(box, worker_id) is not None:
+                    nxt = np.int64(i)
+                    break
+        nxt = int(multihost_utils.broadcast_one_to_all(nxt))
+        if nxt < 0:
+            break
+        box = queue.boxes()[nxt]
+        Log.info(f"pod worker {worker_id}: box {box_name(box)}")
+        try:
+            vp0s, patches = stage_box(box)
+            res = fit_sources_distributed(vp0s, patches, config=config)
+            if leader and save_box is not None:
+                save_box(box, res)
+            completed += 1
+        except Exception as exc:
+            Log.exception(exc)
+            if leader:
+                queue.release(box)
+            raise
     return completed
 
 

@@ -57,6 +57,14 @@ def _platform_newton_config(newton_config: NewtonConfig):
     grad = os.environ.get("CELESTE_GRAD_MODE", "")
     if grad:
         newton_config = newton_config._replace(grad_mode=grad)
+    # Fused refresh kernel (ops/pallas_refresh.py): default on TPU when the
+    # caller left the default, CELESTE_REFRESH_KERNEL overrides for A/Bs.
+    refresh = os.environ.get("CELESTE_REFRESH_KERNEL", "")
+    if refresh:
+        newton_config = newton_config._replace(refresh_kernel=refresh)
+    elif (newton_config.refresh_kernel == "xla"
+            and jax.default_backend() == "tpu"):
+        newton_config = newton_config._replace(refresh_kernel="pallas")
     override = os.environ.get("CELESTE_TR_SOLVER", "")
     if override:
         return newton_config._replace(tr_solver=override,

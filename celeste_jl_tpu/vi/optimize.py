@@ -297,7 +297,8 @@ for _b in range(5):
         _PERM26[6 + _c, 6 + 4 * _b + _j] = 1.0
 
 
-def _analytic_lik_fgh(free, bounds, patch, bg_E_G, bg_var_G):
+def _analytic_lik_fgh(free, bounds, patch, bg_E_G, bg_var_G,
+                      refresh_kernel="xla"):
     """Exact likelihood (value, gradient, Hessian) wrt the free parameters
     in ONE pass over the pixel fields: analytic per-band blocks in
     (theta6, C20) space (models/mixture_derivs.py) chained through the
@@ -305,7 +306,13 @@ def _analytic_lik_fgh(free, bounds, patch, bg_E_G, bg_var_G):
     through the render for the Hessian; the value/gradient ride along for
     free (_band_lik_terms computes them anyway) — the grad_mode="analytic"
     refresh evaluator, which therefore renders the fields once per refresh
-    instead of once for fg plus once for H."""
+    instead of once for fg plus once for H.
+
+    refresh_kernel: "xla" (the band evaluator above) or "pallas" — the
+    fused VMEM-resident render->moment kernel (ops/pallas_refresh.py),
+    which emits the same per-band blocks without materializing the
+    per-component/pixel intermediates in HBM (the fit's measured DMA
+    bottleneck, benchmark/profile_results.md)."""
     dtype = free.dtype
     vp = bijectors.to_bound(free, bounds)
     theta6 = vp[0:6]
@@ -317,9 +324,13 @@ def _analytic_lik_fgh(free, bounds, patch, bg_E_G, bg_var_G):
     bg_E = bg_E_G if bg_E_G is not None else jnp.zeros_like(patch.sky)
     bg_V = bg_var_G if bg_var_G is not None else jnp.zeros_like(patch.sky)
 
+    band_terms = _band_lik_terms
+    if refresh_kernel == "pallas":
+        from ..ops.pallas_refresh import band_lik_terms_fused as band_terms
+
     out = jax.vmap(
         lambda clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b, px, mk, sk, io,
-        bE, bV: _band_lik_terms(
+        bE, bV: band_terms(
             theta6, clb, cllb, psf_b, jac_b, wc_b, pc_b, off_b,
             px, mk, sk, io, bE, bV, P)
     )(cl, cll, patch.psf, patch.wcs_jacobian, patch.world_center,
@@ -349,11 +360,13 @@ def _analytic_lik_fgh(free, bounds, patch, bg_E_G, bg_var_G):
     return jnp.sum(lik_b), g_free, H_free
 
 
-def _analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G):
+def _analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G,
+                          refresh_kernel="xla"):
     """Exact likelihood Hessian wrt the free parameters (the H-only view
     of _analytic_lik_fgh, kept for the grad_mode="ad" refresh path whose
     f, g come from AD)."""
-    return _analytic_lik_fgh(free, bounds, patch, bg_E_G, bg_var_G)[2]
+    return _analytic_lik_fgh(free, bounds, patch, bg_E_G, bg_var_G,
+                             refresh_kernel)[2]
 
 
 def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
@@ -455,8 +468,9 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
         differs from fg_raw's only in contraction order (equal to
         roundoff), which rho never compares across evaluators."""
         if config.grad_mode == "analytic":
-            lik, g_lik, H_lik = _analytic_lik_fgh(free, bounds, patch,
-                                                  bg_E_G, bg_var_G)
+            lik, g_lik, H_lik = _analytic_lik_fgh(
+                free, bounds, patch, bg_E_G, bg_var_G,
+                config.refresh_kernel)
             f, g, H = -lik, -g_lik, -H_lik
             if include_kl:
                 kl, g_kl = jax.value_and_grad(kl_of)(free)
@@ -464,7 +478,8 @@ def maximize(vp0, patch, bg_E_G=None, bg_var_G=None, include_kl=True,
                 H = H - jax.hessian(kl_of)(free)
         else:
             f, g = fg_raw(free)
-            H = -_analytic_lik_hessian(free, bounds, patch, bg_E_G, bg_var_G)
+            H = -_analytic_lik_hessian(free, bounds, patch, bg_E_G,
+                                       bg_var_G, config.refresh_kernel)
             if include_kl:
                 H = H - jax.hessian(kl_of)(free)
         if pixel_axis is not None:
