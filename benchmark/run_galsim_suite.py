@@ -145,6 +145,17 @@ def main():
             f.write("\n\n## Posterior uncertainty calibration "
                     "(fraction of errors within k posterior std errs; "
                     "calibrated ~ 0.38 / 0.68 / 0.95)\n\n")
+            f.write("NOTE: this table mixes NOISE-FREE scenes into the "
+                    "denominator — their errors are near zero, so every "
+                    "error trivially lands within half a posterior std "
+                    "and the fractions read as over-dispersed (~0.9 at "
+                    "0.5 sd). It is NOT a calibration measurement. The "
+                    "real study (all scenes under Poisson noise, "
+                    "multi-seed) is benchmark/calibration_results.md: "
+                    "r-band flux is calibrated (0.46/0.70/0.91), color "
+                    "posteriors are OVERconfident (mean-field VI drops "
+                    "the cross-band flux correlations), matching the "
+                    "reference's own published pattern.\n\n")
             f.write(unc.to_markdown(index=False))
         f.write("\n\n## Per-source truth vs estimate\n\n")
         f.write(merged.to_markdown(index=False, floatfmt=".3f"))

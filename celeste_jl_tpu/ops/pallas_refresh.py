@@ -245,17 +245,33 @@ def _refresh_kernel(scal_ref, cl_ref, off_ref,
 
     polys = _moment_polys(l1, l2)
 
-    # J0/J1: 6 theta-rows each, sum_c P[c,t,b] * g * b_b over own mixture.
-    def jrow(sl, t):
-        acc = col(6 + t * 6 + 0)[sl] * g[sl]
-        for b in range(1, 6):
-            acc += col(6 + t * 6 + b)[sl] * (g[sl] * polys[b][sl])
+    # J0/J1: 6 theta-rows each, sum_c P[c,t,b] * g * b_b over own mixture,
+    # with the g*b_b products hoisted across t and the STRUCTURAL zeros of
+    # P skipped. P = chain @ R has a fixed sparsity pattern from the
+    # mixture construction (models/mixture_derivs.star_mixture /
+    # galaxy_mixture; asserted in tests/test_pallas_refresh.py):
+    #   star components: only the position rows t=0,1 are nonzero, and
+    #     only through b in {l1, l2} (chain touches just the mu etas);
+    #   galaxy components: t=0,1 -> b in {1,2}; t=2 (frac_dev) -> b=0
+    #     (log-weight eta only); t=3..5 (shape) -> b in {0,3,4,5}
+    #     (the s etas). 17 live entries instead of 36.
+    gb = [g] + [g * polys[b] for b in range(1, 6)]
+    _J_PATTERN = {0: (1, 2), 1: (1, 2), 2: (0,), 3: (0, 3, 4, 5),
+                  4: (0, 3, 4, 5), 5: (0, 3, 4, 5)}
+
+    def jrow(sl, t, bs):
+        acc = None
+        for b in bs:
+            term = col(6 + t * 6 + b)[sl] * gb[b][sl]
+            acc = term if acc is None else acc + term
         return jnp.sum(acc, axis=0)
 
     star = slice(0, ks)
     gal = slice(ks, None)
-    J0 = [jrow(star, t) for t in range(6)]
-    J1 = [jrow(gal, t) for t in range(6)]
+    # star rows t=2..5 are structurally zero: carried as None and skipped
+    # in every downstream product instead of multiplying a zero field
+    J0 = [jrow(star, t, (1, 2)) if t < 2 else None for t in range(6)]
+    J1 = [jrow(gal, t, _J_PATTERN[t]) for t in range(6)]
 
     # moments: W-weighted per-component reductions -> (1, C) rows of the
     # (15, C) output block
@@ -270,16 +286,30 @@ def _refresh_kernel(scal_ref, cl_ref, off_ref,
 
     f00, f01, f11, A0, A1 = _cross_fields(cl4, g1, g2, h11, h12, u0, u1,
                                           fs0, fs1)
-    U0 = [f00 * J0[t] + f01 * J1[t] for t in range(6)]
-    U1 = [f01 * J0[t] + f11 * J1[t] for t in range(6)]
+
+    def madd(a, x, acc=None):
+        """acc + a*x with None (in either factor) propagating structural
+        zeros."""
+        if a is None or x is None:
+            return acc
+        term = a * x
+        return term if acc is None else acc + term
+
+    U0 = [madd(f01, J1[t], madd(f00, J0[t])) for t in range(6)]
+    U1 = [madd(f11, J1[t], madd(f01, J0[t])) for t in range(6)]
+
+    def pair(i0, i1, u0j, u1j):
+        # i1/u1j are never None (galaxy rows are all live), so the result
+        # is always a real field
+        return madd(i1, u1j, madd(i0, u0j))
 
     fields = [lik_px]
     for i in range(6):
         for j in range(6):
-            fields.append(J0[i] * U0[j] + J1[i] * U1[j])         # Hcross
+            fields.append(pair(J0[i], J1[i], U0[j], U1[j]))      # Hcross
     for i in range(6):
         for j in range(4):
-            fields.append(J0[i] * A0[j] + J1[i] * A1[j])         # H_tC
+            fields.append(pair(J0[i], J1[i], A0[j], A1[j]))      # H_tC
     fields += [h11 * fs0 * fs0, h11 * fs0 * fs1, h11 * fs1 * fs1,
                h12 * fs0 * fs0 * fs0, h12 * fs0 * fs1 * fs1,
                h12 * fs1 * fs0 * fs0, h12 * fs1 * fs1 * fs1]

@@ -115,6 +115,33 @@ def test_kernel_interpret_matches_reference_f64():
                                    err_msg=name)
 
 
+def test_chain_coefficient_sparsity():
+    """The kernel skips P = chain @ R entries that are structurally zero
+    (star rows t>=2; the per-row b-patterns in _refresh_kernel). Assert
+    the construction actually guarantees those zeros."""
+    from celeste_jl_tpu.models import mixture_derivs as md
+
+    a = _band_args(jnp.float64, n_sources=2, seed=5)[3]
+    theta6, _, _, psf_b, jac_b, wc_b, pc_b = a[:7]
+    sm = md.star_mixture(theta6, psf_b, jac_b, wc_b, pc_b)
+    gm = md.galaxy_mixture(theta6, psf_b, jac_b, wc_b, pc_b)
+    pattern = {0: (1, 2), 1: (1, 2), 2: (0,), 3: (0, 3, 4, 5),
+               4: (0, 3, 4, 5), 5: (0, 3, 4, 5)}
+    for mix, pats in ((sm, {0: (1, 2), 1: (1, 2)}), (gm, pattern)):
+        chain = mix[3]
+        covs = mix[1]
+        det = covs[:, 0, 0] * covs[:, 1, 1] - covs[:, 0, 1] ** 2
+        L00 = covs[:, 1, 1] / det
+        L01 = -covs[:, 0, 1] / det
+        L11 = covs[:, 0, 0] / det
+        P = np.asarray(jnp.einsum("cat,cab->ctb", chain,
+                                  md.eta_basis_rows(L00, L01, L11)))
+        for t in range(6):
+            live = pats.get(t, ())
+            dead = [b for b in range(6) if b not in live]
+            assert np.all(P[:, t, dead] == 0.0), (t, P[:, t, dead])
+
+
 def test_fgh_refresh_kernel_parity_interpret():
     """Full evaluator: _analytic_lik_fgh with the fused (interpreted)
     kernel vs the XLA band path, f32, batch of sources."""
