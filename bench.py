@@ -44,7 +44,10 @@ JACOBI_SWEEPS = os.environ.get("BENCH_JACOBI_SWEEPS",
                                "4" if TR_SOLVER == "pjacobi" else "")
 JACOBI_TOL = os.environ.get("BENCH_JACOBI_TOL", "")
 GRAD_MODE = os.environ.get("BENCH_GRAD", "")          # ad | analytic
-TR_KERNEL = os.environ.get("BENCH_TR_KERNEL", "")     # xla | pallas
+# TR-subproblem kernel: default pallas — a wash in round 4 (920 vs 922,
+# hidden behind refresh DMA), a real win once the fused refresh kernel
+# removed that traffic (1015.1 vs 969.8 same session, round 5)
+TR_KERNEL = os.environ.get("BENCH_TR_KERNEL", "pallas")  # pallas | xla
 # Fused render->moment refresh kernel (ops/pallas_refresh.py); default
 # pallas on TPU. BENCH_REFRESH_KERNEL=xla restores the materializing path.
 REFRESH_KERNEL = os.environ.get(

@@ -155,13 +155,12 @@ class NewtonConfig(NamedTuple):
     #              kernel per batch. Only takes effect with
     #              secular="bisect"; CPU/f64 batches fall back to the
     #              host path inside the custom_vmap rule either way.
-    # MEASURED a wash on the v5e headline bench (BENCH_TR_KERNEL=pallas,
-    # 1024 lanes, pjacobi): 920.2 vs 922.2 fits/s same session, mean
-    # Newton iters BIT-identical (58.114) — the serial-depth hypothesis
-    # for the TR step loop is refuted; XLA's scan trips on the (B, 42)
-    # bisection are already hidden behind the step's DMA traffic
-    # (benchmark/profile_results.md). "xla" stays the default; the
-    # kernel is kept for configs that lengthen the bisection chain.
+    # Round-4 measurement: a wash (920.2 vs 922.2 fits/s, BIT-identical
+    # trajectories) — the scan trips hid behind the refresh evaluator's
+    # DMA traffic. Round 5: with refresh_kernel="pallas" that traffic is
+    # gone and the TR kernel is a real win (1015.1 vs 969.8 fits/s same
+    # session) — parallel/run auto-selects it on TPU (CELESTE_TR_KERNEL
+    # overrides); the config default stays "xla" for CPU parity runs.
     tr_kernel: str = "xla"
     # Analytic-Hessian REFRESH evaluator (vi/optimize._analytic_lik_fgh):
     #   "xla"    — per-band _band_lik_terms; XLA materializes the

@@ -44,7 +44,12 @@ from .jacobi import _round_robin_perm
 HIGHEST = jax.lax.Precision.HIGHEST
 D = 42
 K = D // 2
-LANES = 128  # lanes per kernel block (the TPU minor tile)
+# lanes per kernel block (the TPU minor tile). 128 is the minimum;
+# CELESTE_EIGH_LANES widens the block to amortize per-grid-step overhead
+# (VMEM: 4 x (42, 42, LANES) f32 buffers, so 256 ~= 7.2 MB).
+import os as _os
+
+LANES = int(_os.environ.get("CELESTE_EIGH_LANES", "128"))
 
 
 def _static_takes(perm):

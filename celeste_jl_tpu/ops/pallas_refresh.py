@@ -397,14 +397,22 @@ def make_pixel_terms(ks, pdims):
     NARGS = 11
     row_ndim = (2, 2, 1, 3, 1, 1, 1, 1, 1, 1, 1)   # per-arg rank, unbatched
 
+    # The kernel holds its comp-major (C, 8, N/8) working set in VMEM:
+    # ~1.4 KB per pixel at C=30, so N = P*P beyond 64x64 overflows the
+    # 16 MB scoped budget (measured: P=128 allocates 22.7 MB). Larger
+    # tiles fall back to the XLA band path.
+    MAX_PIXELS = 64 * 64
+
     def _dispatch(*args):
         mu = args[0]
+        small = pdims[0] * pdims[1] <= MAX_PIXELS
         force_interp = (os.environ.get("CELESTE_PALLAS_INTERPRET") == "1"
                         and mu.dtype == jnp.float32)
-        if force_interp:
+        if force_interp and small:
             return pixel_terms_batched(*args, ks=ks, pdims=pdims,
                                        interpret=True)
-        if mu.dtype == jnp.float32 and jax.default_backend() == "tpu":
+        if mu.dtype == jnp.float32 and small \
+                and jax.default_backend() == "tpu":
             return pixel_terms_batched(*args, ks=ks, pdims=pdims)
         return jax.vmap(
             lambda *a: _pixel_terms_row(*a, ks=ks, pdims=pdims))(*args)

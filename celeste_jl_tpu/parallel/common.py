@@ -11,7 +11,17 @@ import jax
 
 from ..vi.elbo import elbo, source_moment_grids
 
-TILE_BUCKETS = (16, 32, 64, 128)
+# Patch tile sizes sources bucket into. The default ladder doubles, so a
+# source just past a bucket boundary wastes up to 4x of its tile on
+# masked-out pixels (mask-fill measured 0.236 on the 8-field farm,
+# tools/util_decompose.py). CELESTE_TILE_BUCKETS="16,24,32,48,64,96,128"
+# A/Bs a finer ladder: better mask fill, but more (class, bucket)
+# sub-launches per schedule step and more compiled shapes.
+import os as _os
+
+TILE_BUCKETS = tuple(
+    int(x) for x in _os.environ.get("CELESTE_TILE_BUCKETS",
+                                    "16,32,64,128").split(","))
 MAX_PATCH_RADIUS = 25.0
 
 # Basin-acceptance margin for every better-ELBO reduction (dual-init lanes,

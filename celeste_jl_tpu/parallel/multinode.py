@@ -48,7 +48,7 @@ _DIST_INITIALIZED = False
 
 
 def init_distributed(coordinator_address=None, num_processes=None,
-                     process_id=None):
+                     process_id=None, initialization_timeout=None):
     """Initialize the multi-host JAX runtime (idempotent).
 
     With no arguments, defers to jax.distributed's cluster auto-detection
@@ -74,9 +74,12 @@ def init_distributed(coordinator_address=None, num_processes=None,
         # jax.device_count()/process_count() initialize it, after which
         # distributed wiring is rejected. Hence the module flag above
         # rather than a process_count() pre-check.
+        kw = {}
+        if initialization_timeout is not None:
+            kw["initialization_timeout"] = initialization_timeout
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
-                                   process_id=process_id)
+                                   process_id=process_id, **kw)
         _DIST_INITIALIZED = True
     except (ValueError, RuntimeError) as exc:
         # single-process runs (no cluster env, no explicit coordinator)

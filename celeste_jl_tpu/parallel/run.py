@@ -65,6 +65,17 @@ def _platform_newton_config(newton_config: NewtonConfig):
     elif (newton_config.refresh_kernel == "xla"
             and jax.default_backend() == "tpu"):
         newton_config = newton_config._replace(refresh_kernel="pallas")
+    # TR-subproblem kernel (ops/pallas_tr.py): measured a wash in round 4
+    # when the secular scan hid behind the refresh's DMA traffic; with the
+    # fused refresh kernel that traffic is gone and the kernel is a real
+    # win (1015.1 vs 969.8 fits/s same session). CELESTE_TR_KERNEL
+    # overrides.
+    trk = os.environ.get("CELESTE_TR_KERNEL", "")
+    if trk:
+        newton_config = newton_config._replace(tr_kernel=trk)
+    elif (newton_config.tr_kernel == "xla"
+            and jax.default_backend() == "tpu"):
+        newton_config = newton_config._replace(tr_kernel="pallas")
     override = os.environ.get("CELESTE_TR_SOLVER", "")
     if override:
         return newton_config._replace(tr_solver=override,

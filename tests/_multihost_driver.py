@@ -30,7 +30,10 @@ enable_compile_cache()
 
 from celeste_jl_tpu.parallel import multinode as mn  # noqa: E402
 
-rank, nproc = mn.init_distributed(f"localhost:{port}", 2, pid)
+# generous init timeout: on the 1-core CI box the sibling rank can be
+# starved for minutes behind xdist workers' compiles
+rank, nproc = mn.init_distributed(f"localhost:{port}", 2, pid,
+                                  initialization_timeout=1800)
 assert nproc == 2, nproc
 assert jax.device_count() == 4, jax.device_count()
 

@@ -41,7 +41,9 @@ def pod_run(tmp_path_factory):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=1200)
+            # generous: the 1-core CI box timeshares the two ranks with
+            # the xdist workers' compiles
+            out, _ = p.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
