@@ -402,16 +402,24 @@ def make_pixel_terms(ks, pdims):
     # 16 MB scoped budget (measured: P=128 allocates 22.7 MB). Larger
     # tiles fall back to the XLA band path.
     MAX_PIXELS = 64 * 64
+    # Narrow batches also fall back: the kernel wins on wide launches
+    # (969.8 vs 915.4 fits/s at G = 5120 rows) but LOSES on the fused
+    # field schedule's narrow class steps (hot-cache field A/B: 56.7 vs
+    # 41.0 s busy at W~32 lanes -> G~160), where per-launch pipeline
+    # overhead and the (42, C)-block prologue don't amortize. 512 rows
+    # ~= 102 source lanes is comfortably inside the measured win regime.
+    MIN_ROWS = int(os.environ.get("CELESTE_REFRESH_KERNEL_MIN_ROWS", "512"))
 
     def _dispatch(*args):
         mu = args[0]
         small = pdims[0] * pdims[1] <= MAX_PIXELS
+        wide = mu.shape[0] >= MIN_ROWS
         force_interp = (os.environ.get("CELESTE_PALLAS_INTERPRET") == "1"
                         and mu.dtype == jnp.float32)
         if force_interp and small:
             return pixel_terms_batched(*args, ks=ks, pdims=pdims,
                                        interpret=True)
-        if mu.dtype == jnp.float32 and small \
+        if mu.dtype == jnp.float32 and small and wide \
                 and jax.default_backend() == "tpu":
             return pixel_terms_batched(*args, ks=ks, pdims=pdims)
         return jax.vmap(

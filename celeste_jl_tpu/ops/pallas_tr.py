@@ -155,7 +155,15 @@ def make_tr_eig(host_solve, bisect_iters):
             gq = gq.reshape(-1, gq.shape[-1])
             w = w.reshape(-1, w.shape[-1])
             delta = delta.reshape(-1)
-        if gq.dtype != jnp.float32 or jax.default_backend() != "tpu":
+        # Narrow batches keep the host scan: the kernel wins at wide
+        # widths (1015.1 vs 969.8 fits/s at B=1024) but its per-step
+        # launch overhead loses on the fused field schedule's ~32-lane
+        # class steps (see ops/pallas_refresh.py MIN_ROWS note; the same
+        # hot-cache field A/B covers both kernels).
+        min_b = int(__import__("os").environ.get(
+            "CELESTE_TR_KERNEL_MIN_LANES", "256"))
+        if (gq.dtype != jnp.float32 or gq.shape[0] < min_b
+                or jax.default_backend() != "tpu"):
             p, pred = jax.vmap(
                 lambda a, b, d: host_solve(a, b, d, bisect_iters,
                                            "bisect"))(gq, w, delta)
