@@ -108,13 +108,6 @@ def _cross_fields(cl4, g1, g2, h11, h12, u0, u1, fs0, fs1):
     return f00, f01, f11, A0, A1
 
 
-# polynomial exponents (a, b) of the 15 moments m_ab, in flat order
-# (models/mixture_derivs.MOMENT_IDX docstring)
-_MOM_POWS = [(0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2),
-             (3, 0), (2, 1), (1, 2), (0, 3),
-             (4, 0), (3, 1), (2, 2), (1, 3), (0, 4)]
-
-
 def _moment_polys(l1, l2):
     """The 15 degree-<=4 monomial fields in flat moment order, built from
     shared squares (one, l1, l2, l1^2, ...)."""

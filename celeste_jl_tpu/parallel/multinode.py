@@ -81,6 +81,20 @@ def init_distributed(coordinator_address=None, num_processes=None,
                                    num_processes=num_processes,
                                    process_id=process_id, **kw)
         _DIST_INITIALIZED = True
+        # Establish the cross-process collective context NOW, while the
+        # ranks are still in lockstep. The context bootstrap (Gloo on
+        # CPU) has a hard ~30 s key-value-exchange timeout that is NOT
+        # covered by initialization_timeout; if the first collective
+        # instead fires after minutes of load-varying jit compiles, a
+        # faster rank times out waiting for a slower one (observed under
+        # CI contention: "Gloo context initialization failed:
+        # DEADLINE_EXCEEDED ... 29.99s"). One tiny barrier here creates
+        # the context; later collectives reuse it.
+        try:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("celeste_init_distributed")
+        except Exception as exc:  # pragma: no cover - best effort
+            Log.info(f"collective warmup failed ({exc}); continuing")
     except (ValueError, RuntimeError) as exc:
         # single-process runs (no cluster env, no explicit coordinator)
         # stay single-process — the worker loop works either way

@@ -69,3 +69,10 @@ def save(box, r):
 completed = mn.run_worker_distributed(queue, stage, save_box=save,
                                       worker_id=f"rank{rank}")
 print(f"RANK {rank} completed {completed}", flush=True)
+
+# re-sync before exiting: under heavy CI load the ranks' tails (result
+# writing, host conversions) can skew by more than the distributed
+# runtime's shutdown-barrier timeout, killing the slower rank
+from jax.experimental import multihost_utils  # noqa: E402
+
+multihost_utils.sync_global_devices("celeste_pod_done")
