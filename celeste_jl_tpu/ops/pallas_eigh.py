@@ -217,6 +217,50 @@ def _sweep_q_kernel(q_ref, cs_ref, qo_ref, tmp_ref):
     jax.lax.fori_loop(0, D - 1, rnd_q, 0)
 
 
+def _sweep_aq_kernel(a_ref, q_ref, ao_ref, qo_ref, tmp_ref):
+    """Fused sweep: the A rounds and the Q rotation replay in ONE kernel —
+    same math and order as _sweep_a_kernel + _sweep_q_kernel, but the
+    per-round rotation params stay in registers instead of a
+    (D-1, 2K, L) HBM log, and each sweep pays one kernel launch instead
+    of two. Staged through refs like _sweep_a_kernel (a value-carried
+    loop body overflows the scoped VMEM stack)."""
+    eye_m, sup_m = _pair_masks(a_ref.dtype)
+    ao_ref[...] = a_ref[...]
+    qo_ref[...] = q_ref[...]
+
+    def rnd(r, _):
+        A = ao_ref[...]
+        L = A.shape[-1]
+        d2 = jnp.sum(A * eye_m, axis=1).reshape(K, 2, L)
+        app, aqq = d2[:, 0, :], d2[:, 1, :]        # (K, L)
+        apq = jnp.sum(A * sup_m, axis=1).reshape(K, 2, L)[:, 0, :]
+        live = jnp.abs(apq) > 1e-30
+        tau = (aqq - app) / (2.0 * jnp.where(live, apq, 1.0))
+        sgn = jnp.where(tau >= 0, 1.0, -1.0)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(live, t, 0.0)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)            # (K, L)
+        s = t * c
+
+        tmp_ref[...] = _rot_rows(A.reshape(K, 2, D, L), c, s) \
+            .reshape(D, D, L)
+        ao_ref[...] = _rot_cols(tmp_ref[...].reshape(D, K, 2, L), c, s) \
+            .reshape(D, D, L)
+        tmp_ref[...] = _perm_rows(ao_ref[...].reshape(K, 2, D, L)) \
+            .reshape(D, D, L)
+        ao_ref[...] = _perm_cols(tmp_ref[...].reshape(D, K, 2, L)) \
+            .reshape(D, D, L)
+
+        Q = qo_ref[...]
+        tmp_ref[...] = _rot_cols(Q.reshape(D, K, 2, L), c, s) \
+            .reshape(D, D, L)
+        qo_ref[...] = _perm_cols(tmp_ref[...].reshape(D, K, 2, L)) \
+            .reshape(D, D, L)
+        return 0
+
+    jax.lax.fori_loop(0, D - 1, rnd, 0)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def _one_sweep(Am, Qm, interpret=False):
     """(B, D, D) f32 -> one systolic sweep via the Pallas kernels."""
@@ -237,29 +281,43 @@ def _one_sweep(Am, Qm, interpret=False):
     grid = (Bp // LANES,)
     spec = pl.BlockSpec((D, D, LANES), lambda i: (0, 0, i),
                         memory_space=pltpu.VMEM)
-    cs_spec = pl.BlockSpec((D - 1, 2 * K, LANES), lambda i: (0, 0, i),
-                           memory_space=pltpu.VMEM)
-    Ao, cs = pl.pallas_call(
-        _sweep_a_kernel,
-        grid=grid,
-        in_specs=[spec],
-        out_specs=[spec, cs_spec],
-        out_shape=[jax.ShapeDtypeStruct((D, D, Bp), Am.dtype),
-                   jax.ShapeDtypeStruct((D - 1, 2 * K, Bp), Am.dtype)],
-        input_output_aliases={0: 0},
-        scratch_shapes=[pltpu.VMEM((D, D, LANES), Am.dtype)],
-        interpret=interpret,
-    )(At)
-    Qo = pl.pallas_call(
-        _sweep_q_kernel,
-        grid=grid,
-        in_specs=[spec, cs_spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((D, D, Bp), Qm.dtype),
-        input_output_aliases={0: 0},
-        scratch_shapes=[pltpu.VMEM((D, D, LANES), Qm.dtype)],
-        interpret=interpret,
-    )(Qt, cs)
+    import os
+    if os.environ.get("CELESTE_EIGH_FUSED", "1") != "0":
+        Ao, Qo = pl.pallas_call(
+            _sweep_aq_kernel,
+            grid=grid,
+            in_specs=[spec, spec],
+            out_specs=[spec, spec],
+            out_shape=[jax.ShapeDtypeStruct((D, D, Bp), Am.dtype),
+                       jax.ShapeDtypeStruct((D, D, Bp), Qm.dtype)],
+            input_output_aliases={0: 0, 1: 1},
+            scratch_shapes=[pltpu.VMEM((D, D, LANES), Am.dtype)],
+            interpret=interpret,
+        )(At, Qt)
+    else:
+        cs_spec = pl.BlockSpec((D - 1, 2 * K, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)
+        Ao, cs = pl.pallas_call(
+            _sweep_a_kernel,
+            grid=grid,
+            in_specs=[spec],
+            out_specs=[spec, cs_spec],
+            out_shape=[jax.ShapeDtypeStruct((D, D, Bp), Am.dtype),
+                       jax.ShapeDtypeStruct((D - 1, 2 * K, Bp), Am.dtype)],
+            input_output_aliases={0: 0},
+            scratch_shapes=[pltpu.VMEM((D, D, LANES), Am.dtype)],
+            interpret=interpret,
+        )(At)
+        Qo = pl.pallas_call(
+            _sweep_q_kernel,
+            grid=grid,
+            in_specs=[spec, cs_spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((D, D, Bp), Qm.dtype),
+            input_output_aliases={0: 0},
+            scratch_shapes=[pltpu.VMEM((D, D, LANES), Qm.dtype)],
+            interpret=interpret,
+        )(Qt, cs)
     Ao = jnp.transpose(Ao, (2, 0, 1))[:B]
     Qo = jnp.transpose(Qo, (2, 0, 1))[:B]
     return Ao, Qo
